@@ -1,0 +1,50 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (no multi-chip TPU hardware is
+available), per SURVEY.md §4: single-device vs multi-device merge-order
+equality is asserted on `--xla_force_host_platform_device_count=8`.
+
+Environment variables must be set before the first `import jax` anywhere in
+the test process, hence this file does it at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+CORPUS_PATH = REFERENCE_DIR / "taylorswift.txt"
+GOLDEN_MERGES_PATH = REFERENCE_DIR / "merges.txt"
+
+
+@pytest.fixture(scope="session")
+def corpus_bytes() -> bytes:
+    """The reference conformance corpus (185,768 bytes of UTF-8 lyrics)."""
+    if not CORPUS_PATH.exists():
+        pytest.skip("reference conformance corpus not available")
+    return CORPUS_PATH.read_bytes()
+
+
+@pytest.fixture(scope="session")
+def golden_merges():
+    """The reference's committed golden merge table: train(corpus, 300)."""
+    if not GOLDEN_MERGES_PATH.exists():
+        pytest.skip("reference golden merges not available")
+    from zigbpe_tpu.utils import serde
+
+    return serde.load(GOLDEN_MERGES_PATH)
+
+
+@pytest.fixture(scope="session")
+def oracle_merges_300(corpus_bytes):
+    """Oracle-trained merges on the conformance corpus, vocab 300 (44 merges)."""
+    from zigbpe_tpu.models import oracle
+
+    return oracle.train(corpus_bytes, 300)
