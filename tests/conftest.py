@@ -10,14 +10,25 @@ the test process, hence this file does it at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The environment may pre-register an accelerator plugin that overrides
+# JAX_PLATFORMS (e.g. a tunneled TPU backend); force CPU explicitly so the
+# suite runs on the virtual 8-device host mesh regardless.
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running conformance tests")
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
 CORPUS_PATH = REFERENCE_DIR / "taylorswift.txt"

@@ -1,0 +1,169 @@
+"""Core device ops for BPE training/encoding — TPU-first building blocks.
+
+Design notes (measured on TPU v5e, this backend):
+
+* Pair-count histogram = **scatter-add** into a dense ``V*V`` int32 array
+  (~80 Ge/s measured). The reference uses a hashmap
+  (basic_tokenizer.zig:257-278); dense + scatter is the TPU-native shape.
+* Top-pair selection = two-stage argmax (max count, then max pair-id among
+  ties). Avoids int64 composite keys; the tie-break *largest (first,second)
+  wins* reproduces the reference's single golden tie (SURVEY.md §2.3.3).
+* Leftmost-greedy overlap resolution (basic_tokenizer.zig:207-232) is a
+  ``cummax`` parity scan: a run of candidate pairs only occurs when
+  first==second, and greedy selects every other candidate from the run
+  start. ``aaa`` + (a,a)->X  =>  [X, a].
+* Compaction = cumsum positions + scatter with dropped out-of-range
+  indices. Valid tokens always form a *prefix*; the tail is PAD (-1).
+* **No gathers** anywhere hot: XLA gather is pathologically slow on this
+  backend (measured 0.01-0.17 Ge/s vs 80 Ge/s scatter).
+
+All functions are pure, fixed-shape, and jit/scan/while_loop friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+PAD = -1
+VOCAB_START = 256
+
+
+def pad_tokens(byte_array, capacity: int):
+    """Host->device: place byte tokens in a PAD-tailed int32 array of
+    static ``capacity`` (byte-level init, basic_tokenizer.zig:155-170)."""
+    import numpy as np
+
+    n = len(byte_array)
+    if n > capacity:
+        raise ValueError(f"corpus length {n} exceeds capacity {capacity}")
+    buf = np.full((capacity,), PAD, dtype=np.int32)
+    buf[:n] = np.frombuffer(bytes(byte_array), dtype=np.uint8)
+    return jnp.asarray(buf), jnp.int32(n)
+
+
+def pair_histogram(tokens: jax.Array, vocab_size: int) -> jax.Array:
+    """Dense ``V*V`` histogram of adjacent pairs, overlaps included
+    (reference semantics: basic_tokenizer.zig:234-278).
+
+    ``tokens`` must be prefix-compacted with PAD tail. Pairs involving PAD
+    (including the final-position wraparound) scatter out of range and drop.
+    """
+    V = vocab_size
+    a = tokens
+    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    valid = b >= 0  # prefix property: a >= 0 wherever b >= 0
+    pid = jnp.where(valid, a * V + b, V * V)
+    return jnp.zeros((V * V,), jnp.int32).at[pid].add(1, mode="drop")
+
+
+def select_top_pair(hist: jax.Array, vocab_size: int):
+    """Argmax pair with deterministic tie-break: on equal counts the larger
+    pair-id (== lexicographically larger (first, second)) wins.
+
+    Returns (first, second, count). count==0 means no pairs exist
+    (the reference's early-stop condition, basic_tokenizer.zig:188-191).
+    """
+    V = vocab_size
+    max_count = jnp.max(hist)
+    ids = jax.lax.broadcasted_iota(jnp.int32, hist.shape, 0)
+    top = jnp.max(jnp.where(hist == max_count, ids, -1))
+    return top // V, top % V, max_count
+
+
+def greedy_hits(tokens: jax.Array, first, second) -> jax.Array:
+    """Boolean mask of pair positions merged by one leftmost-greedy pass
+    (basic_tokenizer.zig:207-232).
+
+    hit[i] True means (tokens[i], tokens[i+1]) merges; position i receives
+    the new token and position i+1 dies. Overlapping candidates (only
+    possible when first==second) resolve leftmost-first via a cummax parity
+    scan over candidate runs.
+    """
+    n = tokens.shape[0]
+    a = tokens
+    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    c = (b >= 0) & (a == first) & (b == second)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # last index (<= i) holding a non-candidate; -1 if none
+    last_zero = jax.lax.cummax(jnp.where(c, -1, idx))
+    parity_hit = c & (((idx - last_zero) % 2) == 1)
+    return jnp.where(first == second, parity_hit, c)
+
+
+def apply_hits(tokens: jax.Array, hits: jax.Array, new_token):
+    """Write ``new_token`` at hit positions, kill the partner slot, and
+    compact back to a PAD-tailed prefix. Returns (new_tokens, num_hits)."""
+    n = tokens.shape[0]
+    written = jnp.where(hits, new_token, tokens)
+    killed = jnp.roll(hits, 1).at[0].set(False)
+    keep = (~killed) & (tokens >= 0)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = jnp.where(keep, pos, n)
+    out = jnp.full((n,), PAD, jnp.int32).at[pos].set(written, mode="drop")
+    return out, jnp.sum(hits.astype(jnp.int32))
+
+
+def merge_pass(tokens: jax.Array, first, second, new_token):
+    """One full greedy merge pass + compaction (device analogue of
+    basic_tokenizer.zig:207-232). Returns (new_tokens, num_hits)."""
+    hits = greedy_hits(tokens, first, second)
+    return apply_hits(tokens, hits, new_token)
+
+
+def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Array,
+                num_merges, vocab_size: int, max_rounds: int):
+    """Run up to ``max_rounds`` merge rounds (or until the target vocab or
+    early-stop). The jitted hot loop of training (basic_tokenizer.zig:172-205
+    semantics), as a ``lax.while_loop`` of fused rounds.
+
+    State:
+      tokens:    int32[N]  prefix-compacted corpus, PAD tail
+      length:    int32     number of valid tokens
+      merges:    int32[M,3]  (first, second, new_token) rows, PAD-filled
+      occupancy: int32[M]  per-merge occurrence count (for verbose/stats)
+      num_merges: int32    merges completed so far
+    """
+    V = vocab_size
+    M = merges.shape[0]
+    target = jnp.minimum(num_merges + max_rounds, M)
+
+    def cond(state):
+        toks, L, mg, occ, k = state
+        return (k < target) & (L >= 2)
+
+    def body(state):
+        toks, L, mg, occ, k = state
+        hist = pair_histogram(toks, V)
+        ta, tb, cnt = select_top_pair(hist, V)
+        new_id = VOCAB_START + k
+        hits = greedy_hits(toks, ta, tb)
+        toks, nhits = apply_hits(toks, hits, new_id)
+        mg = mg.at[k].set(jnp.stack([ta, tb, new_id]))
+        occ = occ.at[k].set(cnt)
+        return toks, L - nhits, mg, occ, k + 1
+
+    return jax.lax.while_loop(cond, body, (tokens, length, merges, occupancy, num_merges))
+
+
+def encode_replay(tokens: jax.Array, merges: jax.Array):
+    """Encode by replaying the merge table in training order
+    (basic_tokenizer.zig:71-88): one greedy pass + compaction per merge,
+    as a ``lax.scan`` over the (M, 3) merge table. PAD rows are no-ops.
+
+    Returns (tokens, length) with tokens prefix-compacted.
+    """
+
+    def step(toks, row):
+        ta, tb, new_id = row[0], row[1], row[2]
+        live = new_id >= 0
+
+        def do(t):
+            out, _ = merge_pass(t, ta, tb, new_id)
+            return out
+
+        toks = jax.lax.cond(live, do, lambda t: t, toks)
+        return toks, None
+
+    toks, _ = jax.lax.scan(step, tokens, merges)
+    return toks, jnp.sum((toks >= 0).astype(jnp.int32))
