@@ -89,6 +89,10 @@ class BasicTokenizer:
                 text, vocab_size, verbose=verbose, stats=self.time_stats, **kwargs
             )
         elif backend == "host":
+            from . import numpy_backend
+
+            self.merges = numpy_backend.train(text, vocab_size, verbose=verbose)
+        elif backend == "oracle":
             self.merges = oracle.train(text, vocab_size, verbose=verbose)
         else:
             raise ValueError(f"unknown backend {backend!r}")
@@ -105,6 +109,10 @@ class BasicTokenizer:
         if backend == "auto":
             backend = "device" if len(text) >= _DEVICE_ENCODE_THRESHOLD else "host"
         if backend == "host":
+            from . import numpy_backend
+
+            return numpy_backend.encode(text, self.merges)
+        if backend == "oracle":
             return oracle.encode(text, self.merges)
         if backend != "device":
             raise ValueError(f"unknown backend {backend!r}")
