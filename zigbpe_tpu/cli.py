@@ -124,6 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--file", help="file of whitespace-separated ids")
     d.set_defaults(fn=cmd_decode)
 
+    g = sub.add_parser("gui", help="interactive tokenizer shell (reference GUI analogue)")
+    g.add_argument("--merges", help="merge table; omitted = mirror-only (reference parity)")
+    g.set_defaults(fn=lambda a: (__import__("zigbpe_tpu.gui.app", fromlist=["run"]).run(a.merges), 0)[1])
+
     m = sub.add_parser("demo", help="reference demo: train + probe round-trip")
     m.add_argument("--corpus", default="/root/reference/taylorswift.txt")
     m.add_argument("--vocab", type=int, default=300)

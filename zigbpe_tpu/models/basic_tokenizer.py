@@ -55,6 +55,15 @@ def _encode_jit():
     return jax.jit(core.encode_replay)
 
 
+@functools.lru_cache(maxsize=None)
+def _encode_batch_jit():
+    import jax
+
+    from ..ops import encode_batch as eb
+
+    return jax.jit(eb.encode_batch)
+
+
 class BasicTokenizer:
     """Host-facing tokenizer model backed by the TPU device path."""
 
@@ -128,6 +137,29 @@ class BasicTokenizer:
         tokens, _ = core.pad_tokens(text, _encode_capacity(max(len(text), 1)))
         out, length = _encode_jit()(tokens, self._device_merges)
         return np.asarray(out)[: int(length)].tolist()
+
+    def encode_batch(self, docs, row_length: Optional[int] = None) -> List[List[int]]:
+        """Encode a batch of documents as padded rows on device — the
+        serving-path API (BASELINE.json config 3). Each row is independent;
+        semantics per row are identical to :meth:`encode`."""
+        if not docs:
+            return []
+        docs = [d.encode("utf-8") if isinstance(d, str) else bytes(d) for d in docs]
+        if not self.merges:
+            return [list(d) for d in docs]
+
+        import jax.numpy as jnp
+
+        from ..ops import encode_batch as eb
+
+        if self._device_merges is None:
+            self._device_merges = jnp.asarray(np.asarray(self.merges, dtype=np.int32))
+        L = row_length or _encode_capacity(max((len(d) for d in docs), default=1))
+        tokens, _ = eb.pad_batch(docs, L)
+        out, lengths = _encode_batch_jit()(tokens, self._device_merges)
+        out = np.asarray(out)
+        lengths = np.asarray(lengths)
+        return [out[i, : lengths[i]].tolist() for i in range(len(docs))]
 
     # ----------------------------------------------------------------- decode
 

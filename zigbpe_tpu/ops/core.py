@@ -42,6 +42,19 @@ def pad_tokens(byte_array, capacity: int):
     return jnp.asarray(buf), jnp.int32(n)
 
 
+def pad_token_ids(ids, capacity: int):
+    """Host->device: place an int32 token-id stream (e.g. from a resumed
+    checkpoint) in a PAD-tailed array of static ``capacity``."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int32)
+    if ids.size > capacity:
+        raise ValueError(f"token stream {ids.size} exceeds capacity {capacity}")
+    buf = np.full((capacity,), PAD, dtype=np.int32)
+    buf[: ids.size] = ids
+    return jnp.asarray(buf), jnp.int32(ids.size)
+
+
 def pair_histogram(tokens: jax.Array, vocab_size: int) -> jax.Array:
     """Dense ``V*V`` histogram of adjacent pairs, overlaps included
     (reference semantics: basic_tokenizer.zig:234-278).

@@ -52,9 +52,17 @@ def train(
     chunk_rounds: int = 64,
     shrink: bool = True,
     stats: Optional[TimeStats] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every_chunks: int = 4,
+    resume: bool = True,
 ) -> List[Merge]:
     """Train a BPE merge table on-device; exact reference semantics
-    (basic_tokenizer.zig:140-205). Returns the ordered merge list."""
+    (basic_tokenizer.zig:140-205). Returns the ordered merge list.
+
+    With ``checkpoint_dir`` set, a resumable checkpoint (merges.txt + the
+    residual token stream) is written every ``checkpoint_every_chunks``
+    chunks and training resumes from it if present (SURVEY.md §5).
+    """
     if vocab_size < core.VOCAB_START:
         raise ValueError(f"vocab_size must be >= 256, got {vocab_size}")
     if vocab_size > 0x10000:
@@ -64,15 +72,43 @@ def train(
     if M == 0 or len(data) < 2:
         return []
 
-    with (stats or TimeStats.null()).phase("initial_tokens"):
-        capacity = _round_capacity(len(data))
-        tokens, length = core.pad_tokens(data, capacity)
-        merges = jnp.full((M, 3), core.PAD, jnp.int32)
-        occupancy = jnp.zeros((M,), jnp.int32)
-        k = jnp.int32(0)
+    start_merges: List[Merge] = []
+    start_tokens = None
+    if checkpoint_dir and resume:
+        from .utils import checkpoint as ckpt
 
-    k_host = 0
-    length_host = len(data)
+        if ckpt.exists(checkpoint_dir):
+            start_merges, start_tokens, ck_vocab, start_occ = ckpt.load(checkpoint_dir)
+            if ck_vocab != vocab_size:
+                raise ValueError(
+                    f"checkpoint vocab_size {ck_vocab} != requested {vocab_size}"
+                )
+            if len(start_merges) > M:
+                raise ValueError("checkpoint has more merges than target vocab")
+
+    with (stats or TimeStats.null()).phase("initial_tokens"):
+        if start_tokens is not None:
+            capacity = _round_capacity(start_tokens.size)
+            tokens, length = core.pad_token_ids(start_tokens, capacity)
+            merges = np.full((M, 3), core.PAD, np.int32)
+            occupancy = np.zeros((M,), np.int32)
+            merges[: len(start_merges)] = np.asarray(start_merges, np.int32).reshape(-1, 3)
+            occupancy[: len(start_occ)] = start_occ
+            merges = jnp.asarray(merges)
+            occupancy = jnp.asarray(occupancy)
+            k = jnp.int32(len(start_merges))
+            k_host = len(start_merges)
+            length_host = int(start_tokens.size)
+        else:
+            capacity = _round_capacity(len(data))
+            tokens, length = core.pad_tokens(data, capacity)
+            merges = jnp.full((M, 3), core.PAD, jnp.int32)
+            occupancy = jnp.zeros((M,), jnp.int32)
+            k = jnp.int32(0)
+            k_host = 0
+            length_host = len(data)
+
+    chunks_done = 0
     while k_host < M and length_host >= 2:
         rounds = min(chunk_rounds, M - k_host)
         with (stats or TimeStats.null()).phase("merge_rounds"):
@@ -98,6 +134,18 @@ def train(
         while shrink and capacity > MIN_CAPACITY and length_host <= capacity // 2:
             capacity //= 2
             tokens = tokens[:capacity]
+
+        chunks_done += 1
+        if checkpoint_dir and (chunks_done % checkpoint_every_chunks == 0):
+            from .utils import checkpoint as ckpt
+
+            ckpt.save(
+                checkpoint_dir,
+                [tuple(int(v) for v in row) for row in np.asarray(merges[:k_host])],
+                np.asarray(tokens)[:length_host],
+                vocab_size,
+                np.asarray(occupancy[:k_host]),
+            )
 
     if k_host < M and length_host < 2:
         # reference early-stop notice (basic_tokenizer.zig:188-191)
