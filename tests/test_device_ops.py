@@ -58,6 +58,30 @@ def test_select_empty():
     assert int(cnt) == 0
 
 
+def test_select_top_pair_sorted_matches_histogram_path():
+    rng = np.random.default_rng(3)
+    V = 300
+    for seed_lo, seed_hi, n in [(97, 100, 500), (0, 256, 1000), (97, 99, 64)]:
+        data = bytes(rng.integers(seed_lo, seed_hi, n, dtype=np.uint8))
+        arr = toks(data, max(8, 1 << (n - 1).bit_length()))
+        ha, hb, hc = core.select_top_pair(core.pair_histogram(arr, V), V)
+        sa, sb, sc = core.select_top_pair_sorted(arr, V)
+        assert (int(ha), int(hb), int(hc)) == (int(sa), int(sb), int(sc))
+
+
+def test_select_top_pair_sorted_empty_and_tiny():
+    V = 300
+    arr = jnp.full((8,), core.PAD, jnp.int32)
+    _, _, cnt = core.select_top_pair_sorted(arr, V)
+    assert int(cnt) == 0  # no pairs -> early-stop signal
+    one = arr.at[0].set(97)
+    _, _, cnt = core.select_top_pair_sorted(one, V)
+    assert int(cnt) == 0  # single token has no pair
+    two = one.at[1].set(98)
+    ta, tb, cnt = core.select_top_pair_sorted(two, V)
+    assert (int(ta), int(tb), int(cnt)) == (97, 98, 1)
+
+
 @pytest.mark.parametrize(
     "text,pair,expect",
     [

@@ -1,21 +1,26 @@
 """Core device ops for BPE training/encoding — TPU-first building blocks.
 
-Design notes (measured on TPU v5e, this backend):
+Design notes (measured on TPU v5e, this backend; timings at 8Mi tokens
+with true device sync — the tunnel pipelines async dispatch, so naive
+block_until_ready timing lies):
 
-* Pair-count histogram = **scatter-add** into a dense ``V*V`` int32 array
-  (~80 Ge/s measured). The reference uses a hashmap
-  (basic_tokenizer.zig:257-278); dense + scatter is the TPU-native shape.
-* Top-pair selection = two-stage argmax (max count, then max pair-id among
-  ties). Avoids int64 composite keys; the tie-break *largest (first,second)
-  wins* reproduces the reference's single golden tie (SURVEY.md §2.3.3).
+* **XLA scatter and gather are pathologically slow here** (~0.14 Ge/s;
+  scatter-add serializes on colliding text-distributed indices). Neither
+  appears anywhere hot.
+* Top-pair selection = **sort + segment scan** over pair ids
+  (select_top_pair_sorted, ~15 ms): sorting groups equal pairs into runs;
+  run lengths via cummax of run-start indices; argmax + tie-break (largest
+  (first, second) wins, reproducing the reference's single golden tie,
+  SURVEY.md §2.3.3) are two reductions. No V*V histogram is materialized.
+  The dense-histogram path (pair_histogram + select_top_pair) is kept for
+  the data-parallel trainer, which psum-reduces histograms across shards.
 * Leftmost-greedy overlap resolution (basic_tokenizer.zig:207-232) is a
   ``cummax`` parity scan: a run of candidate pairs only occurs when
   first==second, and greedy selects every other candidate from the run
   start. ``aaa`` + (a,a)->X  =>  [X, a].
-* Compaction = cumsum positions + scatter with dropped out-of-range
-  indices. Valid tokens always form a *prefix*; the tail is PAD (-1).
-* **No gathers** anywhere hot: XLA gather is pathologically slow on this
-  backend (measured 0.01-0.17 Ge/s vs 80 Ge/s scatter).
+* Compaction = two-operand **stable sort** on a 0/1 dead key (~17 ms, 3x
+  faster than the scatter formulation). Valid tokens always form a
+  *prefix*; the tail is PAD (-1).
 
 All functions are pure, fixed-shape, and jit/scan/while_loop friendly.
 """
@@ -84,6 +89,38 @@ def select_top_pair(hist: jax.Array, vocab_size: int):
     return top // V, top % V, max_count
 
 
+def select_top_pair_sorted(tokens: jax.Array, vocab_size: int):
+    """Argmax pair straight from the token stream via sort + segment scan —
+    no histogram is materialized, no scatter is issued.
+
+    Rationale (measured on this TPU backend): XLA scatter runs at ~0.14 Ge/s
+    on text-distributed indices (collisions serialize), while sort (~0.5
+    Ge/s) + cummax + reductions are several times faster. Sorting the pair
+    ids groups equal pairs into runs; run lengths fall out of a cummax over
+    run-start indices, and the argmax + tie-break (largest pair-id wins,
+    SURVEY.md §2.3.3) is two reductions.
+
+    Same contract as select_top_pair: returns (first, second, count);
+    count==0 means no pairs exist (basic_tokenizer.zig:188-191).
+    """
+    V = vocab_size
+    a = tokens
+    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    valid = b >= 0
+    pid = jnp.where(valid, a * V + b, jnp.int32(V * V))  # invalid sorts last
+    s = jnp.sort(pid)
+    n = s.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    boundary = s[1:] != s[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), boundary])
+    is_end = jnp.concatenate([boundary, jnp.ones((1,), bool)])
+    start_idx = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    run_len = jnp.where(is_end & (s < V * V), idx + 1 - start_idx, 0)
+    maxlen = jnp.max(run_len)
+    top = jnp.max(jnp.where(run_len == maxlen, s, -1))
+    return top // V, top % V, maxlen
+
+
 def greedy_hits(tokens: jax.Array, first, second) -> jax.Array:
     """Boolean mask of pair positions merged by one leftmost-greedy pass
     (basic_tokenizer.zig:207-232).
@@ -106,14 +143,19 @@ def greedy_hits(tokens: jax.Array, first, second) -> jax.Array:
 
 def apply_hits(tokens: jax.Array, hits: jax.Array, new_token):
     """Write ``new_token`` at hit positions, kill the partner slot, and
-    compact back to a PAD-tailed prefix. Returns (new_tokens, num_hits)."""
-    n = tokens.shape[0]
+    compact back to a PAD-tailed prefix. Returns (new_tokens, num_hits).
+
+    Compaction is a two-operand **stable sort** on a 0/1 dead key: kept
+    tokens keep their order and move to the front, dead slots sink to the
+    PAD tail. On this TPU backend sort is ~3x faster than the equivalent
+    scatter (XLA scatter serializes at ~0.14 Ge/s)."""
     written = jnp.where(hits, new_token, tokens)
     killed = jnp.roll(hits, 1).at[0].set(False)
     keep = (~killed) & (tokens >= 0)
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    pos = jnp.where(keep, pos, n)
-    out = jnp.full((n,), PAD, jnp.int32).at[pos].set(written, mode="drop")
+    key = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+    _, out = jax.lax.sort(
+        (key, jnp.where(keep, written, PAD)), num_keys=1, is_stable=True
+    )
     return out, jnp.sum(hits.astype(jnp.int32))
 
 
@@ -147,8 +189,7 @@ def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Arr
 
     def body(state):
         toks, L, mg, occ, k = state
-        hist = pair_histogram(toks, V)
-        ta, tb, cnt = select_top_pair(hist, V)
+        ta, tb, cnt = select_top_pair_sorted(toks, V)
         new_id = VOCAB_START + k
         hits = greedy_hits(toks, ta, tb)
         toks, nhits = apply_hits(toks, hits, new_id)
