@@ -167,10 +167,15 @@ def merge_pass(tokens: jax.Array, first, second, new_token):
 
 
 def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Array,
-                num_merges, vocab_size: int, max_rounds: int):
+                num_merges, vocab_size: int, max_rounds: int,
+                use_pallas: bool = False):
     """Run up to ``max_rounds`` merge rounds (or until the target vocab or
     early-stop). The jitted hot loop of training (basic_tokenizer.zig:172-205
     semantics), as a ``lax.while_loop`` of fused rounds.
+
+    With ``use_pallas`` the merge+compaction runs as the fused Pallas TPU
+    kernel (ops.pallas.merge, one streaming pass); otherwise the portable
+    XLA formulation (greedy_hits + apply_hits) is used.
 
     State:
       tokens:    int32[N]  prefix-compacted corpus, PAD tail
@@ -182,6 +187,8 @@ def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Arr
     V = vocab_size
     M = merges.shape[0]
     target = jnp.minimum(num_merges + max_rounds, M)
+    if use_pallas:
+        from .pallas import merge as pallas_merge
 
     def cond(state):
         toks, L, mg, occ, k = state
@@ -191,8 +198,11 @@ def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Arr
         toks, L, mg, occ, k = state
         ta, tb, cnt = select_top_pair_sorted(toks, V)
         new_id = VOCAB_START + k
-        hits = greedy_hits(toks, ta, tb)
-        toks, nhits = apply_hits(toks, hits, new_id)
+        if use_pallas:
+            toks, nhits = pallas_merge.merge_pass_pallas(toks, ta, tb, new_id)
+        else:
+            hits = greedy_hits(toks, ta, tb)
+            toks, nhits = apply_hits(toks, hits, new_id)
         mg = mg.at[k].set(jnp.stack([ta, tb, new_id]))
         occ = occ.at[k].set(cnt)
         return toks, L - nhits, mg, occ, k + 1

@@ -1,0 +1,15 @@
+"""Pallas TPU kernels for the BPE hot path (SURVEY.md §7 Stage 2)."""
+
+import jax
+
+BLOCK = 64 * 128  # merge kernel block size (block_rows=64 x 128 lanes)
+
+
+def merge_kernel_supported(capacity: int) -> bool:
+    """True when the fused merge kernel can run: TPU backend and a
+    block-aligned capacity. Everything else falls back to the XLA path."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend == "tpu" and capacity % BLOCK == 0 and capacity >= BLOCK

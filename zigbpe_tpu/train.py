@@ -35,13 +35,14 @@ def _round_capacity(n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vocab_size", "max_rounds"),
+    static_argnames=("vocab_size", "max_rounds", "use_pallas"),
     donate_argnums=(0, 2, 3),
 )
-def _train_chunk(tokens, length, merges, occupancy, num_merges, *, vocab_size, max_rounds):
+def _train_chunk(tokens, length, merges, occupancy, num_merges, *, vocab_size,
+                 max_rounds, use_pallas=False):
     return core.train_chunk(
         tokens, length, merges, occupancy, num_merges,
-        vocab_size=vocab_size, max_rounds=max_rounds,
+        vocab_size=vocab_size, max_rounds=max_rounds, use_pallas=use_pallas,
     )
 
 
@@ -108,6 +109,8 @@ def train(
             k_host = 0
             length_host = len(data)
 
+    from .ops import pallas as pallas_pkg
+
     chunks_done = 0
     while k_host < M and length_host >= 2:
         rounds = min(chunk_rounds, M - k_host)
@@ -115,6 +118,7 @@ def train(
             tokens, length, merges, occupancy, k = _train_chunk(
                 tokens, length, merges, occupancy, k,
                 vocab_size=vocab_size, max_rounds=rounds,
+                use_pallas=pallas_pkg.merge_kernel_supported(capacity),
             )
             length_host = int(length)
             prev_k, k_host = k_host, int(k)
