@@ -34,17 +34,41 @@ PAD = -1
 VOCAB_START = 256
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("capacity",))
+def _unpack_bytes(packed: jax.Array, n, *, capacity: int):
+    """Device-side: 4 packed corpus bytes per int32 -> PAD-tailed tokens."""
+    b0 = packed & 0xFF
+    b1 = (packed >> 8) & 0xFF
+    b2 = (packed >> 16) & 0xFF
+    b3 = (packed >> 24) & 0xFF
+    toks = jnp.stack([b0, b1, b2, b3], axis=1).reshape(-1)[:capacity]
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    return jnp.where(idx < n, toks, PAD)
+
+
 def pad_tokens(byte_array, capacity: int):
     """Host->device: place byte tokens in a PAD-tailed int32 array of
-    static ``capacity`` (byte-level init, basic_tokenizer.zig:155-170)."""
+    static ``capacity`` (byte-level init, basic_tokenizer.zig:155-170).
+
+    The corpus crosses the host->device link PACKED, 4 bytes per int32
+    (this backend's transfer path moves int32 payloads ~4x faster per
+    corpus byte than materialized int32 tokens; uint8 uploads are
+    pathologically slow). Unpack + PAD-masking run on device."""
     import numpy as np
 
-    n = len(byte_array)
+    data = bytes(byte_array)
+    n = len(data)
     if n > capacity:
         raise ValueError(f"corpus length {n} exceeds capacity {capacity}")
-    buf = np.full((capacity,), PAD, dtype=np.int32)
-    buf[:n] = np.frombuffer(bytes(byte_array), dtype=np.uint8)
-    return jnp.asarray(buf), jnp.int32(n)
+    if capacity % 4:
+        raise ValueError(f"capacity {capacity} must be a multiple of 4")
+    buf = np.zeros((capacity,), dtype=np.uint8)
+    buf[:n] = np.frombuffer(data, dtype=np.uint8)
+    packed = jnp.asarray(buf.view("<i4"))
+    return _unpack_bytes(packed, jnp.int32(n), capacity=capacity), jnp.int32(n)
 
 
 def pad_token_ids(ids, capacity: int):
