@@ -129,6 +129,57 @@ def test_train_chunk_matches_oracle():
     assert int(length) == len(oracle.encode(data, want))
 
 
+def test_count_pair_and_xrow_counts():
+    rng = np.random.default_rng(4)
+    data = bytes(rng.integers(97, 101, 3000, dtype=np.uint8))
+    V = 300
+    arr = toks(data, 4096)
+    hist = np.asarray(core.pair_histogram(arr, V)).reshape(V, V)
+    for a, b in [(97, 98), (98, 97), (100, 100), (1, 2)]:
+        assert int(core.count_pair(arr, a, b)) == hist[a, b]
+    for x in (97, 99, 250):
+        row, col = core.xrow_counts(arr, x, V, chunk=512)
+        assert np.asarray(row).tolist() == hist[x, :].tolist()
+        assert np.asarray(col).tolist() == hist[:, x].tolist()
+
+
+def test_select_top_pair_lazy_matches_sorted():
+    rng = np.random.default_rng(5)
+    V = 300
+    data = bytes(rng.integers(97, 103, 2000, dtype=np.uint8))
+    arr = toks(data, 2048)
+    ub = core.pair_histogram(arr, V)
+    # exact ub: one pop, same answer as the sort path
+    sa, sb, sc = core.select_top_pair_sorted(arr, V)
+    la, lb, lc, _ = core.select_top_pair_lazy(ub, arr, V)
+    assert (int(la), int(lb), int(lc)) == (int(sa), int(sb), int(sc))
+    # stale ub (inflated counts elsewhere): pops must still find the truth
+    stale = ub.at[5 * V + 7].set(10**6).at[200 * V + 3].set(10**6)
+    la, lb, lc, ub2 = core.select_top_pair_lazy(stale, arr, V)
+    assert (int(la), int(lb), int(lc)) == (int(sa), int(sb), int(sc))
+    # the popped stale bins were corrected to exact values
+    assert int(ub2[5 * V + 7]) == int(core.count_pair(arr, 5, 7))
+    assert int(ub2[200 * V + 3]) == int(core.count_pair(arr, 200, 3))
+
+
+def test_train_chunk_lazy_matches_oracle():
+    rng = np.random.default_rng(6)
+    data = bytes(rng.integers(97, 103, 4000, dtype=np.uint8))
+    V = 280
+    arr, n = core.pad_tokens(data, 4096)
+    ub = core.pair_histogram(arr, V)
+    merges = jnp.full((V - 256, 3), core.PAD, jnp.int32)
+    occ = jnp.zeros((V - 256,), jnp.int32)
+    toks_out, length, ub, merges, occ, k = core.train_chunk_lazy(
+        arr, n, ub, merges, occ, jnp.int32(0), vocab_size=V, max_rounds=V - 256
+    )
+    want = oracle.train(data, V)
+    got = [tuple(r) for r in np.asarray(merges[: int(k)]).tolist()]
+    assert got == want
+    assert as_list(toks_out) == oracle.encode(data, want)
+    assert int(length) == len(oracle.encode(data, want))
+
+
 def test_encode_replay_matches_oracle():
     data = b"hello world hello hello world"
     merges = oracle.train(data, 300)

@@ -46,6 +46,29 @@ def _train_chunk(tokens, length, merges, occupancy, num_merges, *, vocab_size,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("vocab_size", "max_rounds", "use_pallas"),
+    donate_argnums=(0, 2, 3, 4),
+)
+def _train_chunk_lazy(tokens, length, ub, merges, occupancy, num_merges, *,
+                      vocab_size, max_rounds, use_pallas=False):
+    return core.train_chunk_lazy(
+        tokens, length, ub, merges, occupancy, num_merges,
+        vocab_size=vocab_size, max_rounds=max_rounds, use_pallas=use_pallas,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_size",))
+def _init_ub(tokens, *, vocab_size):
+    return core.pair_histogram(tokens, vocab_size)
+
+
+# Above this vocab size the dense V^2 upper-bound table gets expensive
+# (memory + per-pop argmax); fall back to the sort-based selection.
+LAZY_VOCAB_MAX = 8192
+
+
 def train(
     data: bytes,
     vocab_size: int,
@@ -111,15 +134,29 @@ def train(
 
     from .ops import pallas as pallas_pkg
 
+    lazy = vocab_size <= LAZY_VOCAB_MAX
+    ub = None
+    if lazy:
+        with (stats or TimeStats.null()).phase("count_pairs"):
+            ub = _init_ub(tokens, vocab_size=vocab_size)
+
     chunks_done = 0
     while k_host < M and length_host >= 2:
         rounds = min(chunk_rounds, M - k_host)
         with (stats or TimeStats.null()).phase("merge_rounds"):
-            tokens, length, merges, occupancy, k = _train_chunk(
-                tokens, length, merges, occupancy, k,
-                vocab_size=vocab_size, max_rounds=rounds,
-                use_pallas=pallas_pkg.merge_kernel_supported(capacity),
-            )
+            use_pallas = pallas_pkg.merge_kernel_supported(capacity)
+            if lazy:
+                tokens, length, ub, merges, occupancy, k = _train_chunk_lazy(
+                    tokens, length, ub, merges, occupancy, k,
+                    vocab_size=vocab_size, max_rounds=rounds,
+                    use_pallas=use_pallas,
+                )
+            else:
+                tokens, length, merges, occupancy, k = _train_chunk(
+                    tokens, length, merges, occupancy, k,
+                    vocab_size=vocab_size, max_rounds=rounds,
+                    use_pallas=use_pallas,
+                )
             length_host = int(length)
             prev_k, k_host = k_host, int(k)
 
