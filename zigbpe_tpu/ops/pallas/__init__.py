@@ -2,7 +2,7 @@
 
 import jax
 
-BLOCK = 64 * 128  # merge kernel block size (block_rows=64 x 128 lanes)
+BLOCK = 128 * 128  # merge kernel block size (block_rows=128 x 128 lanes)
 
 
 def merge_kernel_supported(capacity: int) -> bool:

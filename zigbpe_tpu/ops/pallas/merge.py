@@ -33,12 +33,20 @@ SMEM — TPU grids execute in order):
   has bit b move left by 2^b. Monotonicity (clearing low bits of a
   non-decreasing sequence keeps it non-decreasing) makes every partial step
   collision-free, so each step is two flat shifts + selects.
-* Compacted elements append into a (2C,) VMEM staging buffer at dynamic
-  offset ``pending`` via bit-decomposed static rotations + masked merge
-  (software unaligned store). Whenever >= C elements are staged, one
-  aligned C-sized block DMAs to the output in HBM. The final grid step
-  flushes the tail and PAD-fills the rest of the output, restoring the
-  PAD-tailed prefix invariant.
+* Compacted elements append into a (4C,) VMEM ring buffer at dynamic
+  offset ``pending mod 4C`` via bit-decomposed static rotations (mod C —
+  ring blocks are C-congruent) + masked merge (software unaligned store).
+  Whenever a ring block fills, it DMAs to the output WITHOUT waiting; a
+  block waits for flush j only when its writes could touch j's slot
+  (drain-to-2 backlog), so DMA latency hides behind compute. The output
+  ALIASES the input, so the PAD tail beyond the old valid length is
+  inherited rather than re-written; the final grid step drains, flushes
+  the partial tail, and PAD-fills only the newly-vacated gap.
+
+* Fast paths: the parity scan runs only when a == b; the bit-move runs
+  only when the block actually killed a slot; rotation only when the
+  staging offset is misaligned. Late rounds (sparse hits) skip almost
+  all scan work.
 
 The kernel returns (compacted_tokens, stats[nhits, new_length]). It is
 bit-exact vs ops.core.merge_pass (tested in tests/test_pallas_merge.py via
@@ -164,6 +172,10 @@ def _sum_scan_flat(x):
 def _compact_bitmove(val, keep, dest):
     """Move kept elements to their dest (exclusive cumsum of keep) — stable
     stream compaction in log2(C) collision-free steps. Dropped slots -> PAD.
+
+    The (value, remaining-shift) pair is PACKED into one int32
+    (shift << 17 | value; values < 2^17, shifts < 2^14) so each step moves
+    one array instead of two; packed < 0 marks a hole.
     """
     R, C = val.shape
     n = R * C
@@ -171,20 +183,17 @@ def _compact_bitmove(val, keep, dest):
         jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
         + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
     )
-    shift = jnp.where(keep, idx - dest, 0)
-    val = jnp.where(keep, val, PAD)
-    shift = jnp.where(keep, shift, 0)
+    packed = jnp.where(keep, ((idx - dest) << 17) | val, -1)
     b = 1
     while b < n:
-        in_val = _shift_left_flat(val, b, jnp.int32(PAD))
-        in_shift = _shift_left_flat(shift, b, jnp.int32(0))
-        moving_in = (in_val != PAD) & ((in_shift & b) != 0)
-        staying = (val != PAD) & ((shift & b) == 0)
-        new_val = jnp.where(moving_in, in_val, jnp.where(staying, val, PAD))
-        new_shift = jnp.where(moving_in, in_shift - b, jnp.where(staying, shift, 0))
-        val, shift = new_val, new_shift
+        incoming = _shift_left_flat(packed, b, -1)
+        moving_in = (incoming >= 0) & (((incoming >> 17) & b) != 0)
+        staying = (packed >= 0) & (((packed >> 17) & b) == 0)
+        packed = jnp.where(
+            moving_in, incoming - (b << 17), jnp.where(staying, packed, -1)
+        )
         b *= 2
-    return val
+    return jnp.where(packed >= 0, packed & ((1 << 17) - 1), PAD)
 
 
 # ---------------------------------------------------------------------------
@@ -198,10 +207,11 @@ def _merge_kernel(
     nxt_ref,      # VMEM (8, 128) first rows of next block (clamped at end)
     out_ref,      # ANY  (rows, 128) full output, written via manual DMA
     stats_ref,    # SMEM int32[2]: (nhits, new_length)
-    staging,      # VMEM (2R, 128) scratch
-    padblk,       # VMEM (R, 128) scratch of PAD for tail fill
-    carry,        # SMEM int32[5]: last_nonc, kill_first, pending, flushed, nhits
-    sem,          # DMA semaphore
+    staging,      # VMEM (4R, 128) ring of 4 flush blocks
+    padblk,       # VMEM (4R, 128) scratch of PAD for tail fill
+    carry,        # SMEM int32[8]: see _init
+    sem,          # DMA semaphore array (4,) for ring flushes
+    pad_sem,      # DMA semaphore for tail PAD fills
     *,
     R: int,
 ):
@@ -213,14 +223,33 @@ def _merge_kernel(
     def _init():
         carry[0] = NEG  # last non-candidate global pair index ("none yet")
         carry[1] = 0    # kill-first flag
-        carry[2] = 0    # staging pending count
-        carry[3] = 0    # blocks flushed
+        carry[2] = 0    # pending: total staged elements (= new length so far)
+        carry[3] = 0    # flushes started
         carry[4] = 0    # total hits
+        carry[5] = 0    # total valid input tokens seen
+        carry[6] = 0    # flushes waited
         stats_ref[0] = 0
         stats_ref[1] = 0
-        padblk[:] = jnp.full((R, LANES), PAD, jnp.int32)
-        # staging must start PAD so unwritten tail slots flush as PAD
-        staging[:] = jnp.full((2 * R, LANES), PAD, jnp.int32)
+        padblk[:] = jnp.full((4 * R, LANES), PAD, jnp.int32)
+
+    # drain the flush backlog to <= 2 outstanding BEFORE this block's ring
+    # writes can touch a slot a 3-back flush may still be reading
+    def drain_to(limit):
+        flushed0 = carry[3]
+        waited0 = carry[6]
+        todo = jnp.maximum(flushed0 - waited0 - limit, 0)
+
+        def wbody(t, _):
+            pltpu.make_async_copy(
+                staging.at[pl.ds(0, R), :], out_ref.at[pl.ds(0, R), :],
+                sem.at[(waited0 + t) % 4],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, todo, wbody, 0)
+        carry[6] = waited0 + todo
+
+    drain_to(2)
 
     a = scalars[0]
     b = scalars[1]
@@ -236,15 +265,19 @@ def _merge_kernel(
     nxt = jnp.where(is_last, edge_second, nxt)
 
     cand = (tok == a) & (nxt == b) & (nxt >= 0) & (tok >= 0)
-
-    # leftmost-greedy parity for a == b runs (global pair indices)
     gidx = i * C + row * LANES + col
     non_cand_idx = jnp.where(cand, NEG, gidx)
-    last_nonc = jnp.maximum(_max_scan_flat(non_cand_idx), carry[0])
-    # parity gates hits only for a == b runs (i1 vector selects are not
-    # legal on Mosaic, so express the gate as boolean algebra)
-    parity_ok = ((gidx - last_nonc) & 1) == 1
-    hit = cand & (parity_ok | (a != b))
+
+    # leftmost-greedy parity for a == b runs (global pair indices); for
+    # a != b candidates cannot overlap, so skip the scan entirely.
+    # (cond branches yield int32 — Mosaic cannot yield i1 vectors)
+    def with_parity(c_mask):
+        last_nonc = jnp.maximum(_max_scan_flat(non_cand_idx), carry[0])
+        return (c_mask & (((gidx - last_nonc) & 1) == 1)).astype(jnp.int32)
+
+    hit = jax.lax.cond(
+        a == b, with_parity, lambda c_mask: c_mask.astype(jnp.int32), cand
+    ) == 1
 
     # kills: partner of an in-block hit, or the kill-first carry
     # (shift in int32 — Mosaic cannot shift/concat i1 vectors)
@@ -253,81 +286,134 @@ def _merge_kernel(
 
     written = jnp.where(hit, new_tok, tok)
     keep = (tok >= 0) & ~killed
-
-    # compact kept elements to the block front
-    dest = _sum_scan_flat(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
-    compacted = _compact_bitmove(written, keep, dest)
     kept = jnp.sum(keep.astype(jnp.int32))
     nhits_blk = jnp.sum(hit.astype(jnp.int32))
+    nkilled = jnp.sum(killed.astype(jnp.int32))
 
-    # ---- stage: software unaligned append at offset `pending` ----
+    # compact kept elements to the block front; with no kills `written`
+    # is already a PAD-tailed prefix (PAD only ever in the input tail)
+    def compact(w):
+        dest = _sum_scan_flat(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
+        return _compact_bitmove(w, keep, dest)
+
+    compacted = jax.lax.cond(nkilled > 0, compact, lambda w: w, written)
+
+    # ---- stage: software unaligned append into the 4C ring ----
+    # rotate within the C-domain (mod C); ring positions congruent mod C
+    # read the same source, so one rotation serves all 4 ring blocks
     pending = carry[2]
-    lifted = jnp.concatenate(
-        [compacted, jnp.full((R, LANES), PAD, jnp.int32)], axis=0
-    )  # (2R, 128) block values at positions [0, C)
-    rot = lifted
-    step = 1
-    while step < 2 * C:  # rotate right by `pending` (dynamic, bit-decomposed)
-        rot = jnp.where((pending & step) != 0, _rotate_flat(rot, step), rot)
-        step *= 2
-    sidx = (
-        jax.lax.broadcasted_iota(jnp.int32, (2 * R, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (2 * R, LANES), 1)
-    )
-    in_range = (sidx >= pending) & (sidx < pending + kept)
-    staging[:] = jnp.where(in_range, rot, staging[:])
-    pending = pending + kept
+    pmod = pending & (4 * C - 1)
 
-    # ---- flush one aligned C-block if full ----
+    def rotate(v):
+        amt = pending & (C - 1)
+        step = 1
+        while step < C:
+            v = jnp.where((amt & step) != 0, _rotate_flat(v, step), v)
+            step *= 2
+        return v
+
+    rot = jax.lax.cond((pending & (C - 1)) > 0, rotate, lambda v: v, compacted)
+    sidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (4 * R, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (4 * R, LANES), 1)
+    )
+    d = sidx - pmod
+    d = jnp.where(d < 0, d + 4 * C, d)
+    in_range = d < kept
+    tiled = jnp.concatenate([rot, rot, rot, rot], axis=0)
+    staging[:] = jnp.where(in_range, tiled, staging[:])
+    pending = pending + kept
+    carry[2] = pending
+
+    # ---- start (don't wait) one ring-block flush if a block filled ----
     flushed = carry[3]
 
-    @pl.when(pending >= C)
+    @pl.when(pending - flushed * C >= C)
     def _flush():
-        cp = pltpu.make_async_copy(
-            staging.at[pl.ds(0, R), :], out_ref.at[pl.ds(flushed * R, R), :], sem
-        )
-        cp.start()
-        cp.wait()
-        staging[:] = jnp.concatenate(
-            [staging[R:, :], jnp.full((R, LANES), PAD, jnp.int32)], axis=0
-        )
-        carry[2] = pending - C
+        pltpu.make_async_copy(
+            staging.at[pl.ds((flushed % 4) * R, R), :],
+            out_ref.at[pl.ds(flushed * R, R), :],
+            sem.at[flushed % 4],
+        ).start()
         carry[3] = flushed + 1
-
-    @pl.when(pending < C)
-    def _noflush():
-        carry[2] = pending
 
     carry[0] = jnp.maximum(carry[0], jnp.max(non_cand_idx))
     carry[1] = hit.astype(jnp.int32)[R - 1, LANES - 1]
     carry[4] = carry[4] + nhits_blk
+    carry[5] = carry[5] + jnp.sum((tok >= 0).astype(jnp.int32))
 
-    # ---- final step: flush tail + PAD-fill the rest of the output ----
+    # ---- final step: drain, flush the partial tail, PAD-fill the gap ----
     @pl.when(i == G - 1)
     def _finish():
+        drain_to(0)
         f = carry[3]
-        cp = pltpu.make_async_copy(
-            staging.at[pl.ds(0, R), :], out_ref.at[pl.ds(f * R, R), :], sem
+        newlen = carry[2]
+        # PAD the unwritten slots of the final partial ring block
+        npad_from = newlen & (4 * C - 1)
+        dd = sidx - npad_from
+        dd = jnp.where(dd < 0, dd + 4 * C, dd)
+        staging[:] = jnp.where(dd < (f + 1) * C - newlen, PAD, staging[:])
+        tail = pltpu.make_async_copy(
+            staging.at[pl.ds((f % 4) * R, R), :],
+            out_ref.at[pl.ds(f * R, R), :],
+            sem.at[f % 4],
         )
-        cp.start()
-        cp.wait()
+        tail.start()
+        tail.wait()
 
-        def pad_body(j, _):
-            cq = pltpu.make_async_copy(
-                padblk.at[pl.ds(0, R), :], out_ref.at[pl.ds(j * R, R), :], sem
-            )
-            cq.start()
-            cq.wait()
+        # PAD-fill [f+1, ceil(valid_total/C)) — beyond that the output
+        # already holds PAD, because it aliases the input (the old tail)
+        vend = (carry[5] + C - 1) // C  # in C-blocks
+        base = f + 1
+        if G >= 5:  # batched 4-block PADs only make sense on larger grids
+            n4 = jnp.maximum((vend - base) // 4, 0)
+
+            def pad4(j, _):
+                pltpu.make_async_copy(
+                    padblk.at[:, :],
+                    out_ref.at[pl.ds((base + j * 4) * R, 4 * R), :],
+                    pad_sem,
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, n4, pad4, 0)
+        else:
+            n4 = jnp.int32(0)
+
+        def pad1(j, _):
+            pltpu.make_async_copy(
+                padblk.at[pl.ds(0, R), :],
+                out_ref.at[pl.ds((base + n4 * 4 + j) * R, R), :],
+                pad_sem,
+            ).start()
             return 0
 
-        jax.lax.fori_loop(f + 1, G, pad_body, 0)
+        n1 = jnp.maximum(vend - base - n4 * 4, 0)
+        jax.lax.fori_loop(0, n1, pad1, 0)
+
+        if G >= 5:
+            def wait4(j, _):
+                pltpu.make_async_copy(
+                    padblk.at[:, :], out_ref.at[pl.ds(0, 4 * R), :], pad_sem
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, n4, wait4, 0)
+
+        def wait1(j, _):
+            pltpu.make_async_copy(
+                padblk.at[pl.ds(0, R), :], out_ref.at[pl.ds(0, R), :], pad_sem
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, n1, wait1, 0)
         stats_ref[0] = carry[4]
-        stats_ref[1] = f * C + carry[2]
+        stats_ref[1] = newlen
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def merge_pass_pallas(
-    tokens: jax.Array, first, second, new_token, *, block_rows: int = 64,
+    tokens: jax.Array, first, second, new_token, *, block_rows: int = 128,
     interpret: bool = False,
 ):
     """Fused greedy merge + compaction (drop-in for ops.core.merge_pass).
@@ -339,6 +425,9 @@ def merge_pass_pallas(
     N = tokens.shape[0]
     R = block_rows
     C = R * LANES
+    if R > 128:
+        # packed bit-move encodes the shift in 14 bits: C <= 16384
+        raise ValueError(f"block_rows {R} exceeds 128")
     if N % C:
         raise ValueError(f"capacity {N} must be a multiple of {C}")
     G = N // C
@@ -365,9 +454,10 @@ def merge_pass_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * R, LANES), jnp.int32),
-            pltpu.VMEM((R, LANES), jnp.int32),
-            pltpu.SMEM((5,), jnp.int32),
+            pltpu.VMEM((4 * R, LANES), jnp.int32),
+            pltpu.VMEM((4 * R, LANES), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -379,6 +469,11 @@ def merge_pass_pallas(
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # output 0 aliases the token input: compaction writes in place
+        # (safe: every flush/PAD write targets rows <= the read frontier),
+        # and the PAD tail beyond the old valid length is inherited from
+        # the input instead of being re-written
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(scalars, tok2d, tok2d)
     return out.reshape(N), stats[0]
