@@ -212,34 +212,54 @@ def xrow_counts(tokens: jax.Array, x, vocab_size: int, chunk: int = 1 << 15):
     return row, col
 
 
-def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int):
-    """Lazy-heap argmax: pop the max of the stale upper-bound table ``ub``,
-    verify it with one exact corpus reduction, and repeat until a popped
-    bound is exact. Returns (first, second, count, ub').
+def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
+                         batch: int = 8):
+    """Lazy-heap argmax: pop the ``batch`` largest entries of the stale
+    upper-bound table ``ub``, verify them ALL with one exact corpus pass,
+    and repeat until the table's argmax is a verified entry. Returns
+    (first, second, count, ub').
 
     Soundness: every ub entry is >= the true live count (merging (a,b)->X
-    only DECREASES counts of bins not involving X, and X bins are written
-    exactly each round), so the first verified pop is the true argmax.
-    The pop order (max count, then max pair-id) realises the documented
-    tie-break (SURVEY.md §2.3.3).
+    only DECREASES counts of bins not involving X, and X bins are re-bounded
+    each round), so once the argmax of ub is exact it is the true argmax.
+    The argmax order (max count, then max pair-id) realises the documented
+    tie-break (SURVEY.md §2.3.3). Batching matters: a verify pass streams
+    the whole corpus, so verifying the top-8 costs barely more than the
+    top-1, and stale rounds need several corrections.
     """
     V = vocab_size
     ids = jax.lax.broadcasted_iota(jnp.int32, ub.shape, 0)
+    a = tokens
+    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    pid_stream = jnp.where(b >= 0, a * V + b, -1)
 
-    def pop(state):
+    def round_(state):
         u, _, _, _ = state
-        c = jnp.max(u)
-        pid = jnp.max(jnp.where(u == c, ids, -1))
-        exact = count_pair(tokens, pid // V, pid % V)
-        u = u.at[pid].set(exact)
-        return u, pid, c, exact
+        # top-`batch` bins by (count, pid) via iterated argmax + mask
+        masked = u
+        pids = []
+        for _ in range(batch):
+            c = jnp.max(masked)
+            pid = jnp.max(jnp.where(masked == c, ids, -1))
+            pids.append(pid)
+            masked = masked.at[pid].set(-1)
+        pids = jnp.stack(pids)
+        # one corpus pass verifies all of them exactly
+        exact = jnp.stack(
+            [jnp.sum((pid_stream == p).astype(jnp.int32)) for p in pids]
+        )
+        u = u.at[pids].set(exact)
+        c2 = jnp.max(u)
+        pid2 = jnp.max(jnp.where(u == c2, ids, -1))
+        verified = jnp.any(pids == pid2) | (c2 == 0)
+        return u, pid2, c2, verified
 
     def cond(state):
-        _, pid, c, exact = state
-        return (exact != c) & (c > 0)
+        _, _, _, verified = state
+        return ~verified
 
-    state = pop((ub, jnp.int32(-1), jnp.int32(0), jnp.int32(-1)))
-    ub, pid, c, _ = jax.lax.while_loop(cond, pop, state)
+    state = round_((ub, jnp.int32(-1), jnp.int32(0), jnp.bool_(False)))
+    ub, pid, c, _ = jax.lax.while_loop(cond, round_, state)
     return pid // V, pid % V, c, ub
 
 
