@@ -47,12 +47,12 @@ def _encode_capacity(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _encode_jit():
+def _encode_jit(use_pallas: bool = False):
     import jax
 
     from ..ops import core
 
-    return jax.jit(core.encode_replay)
+    return jax.jit(functools.partial(core.encode_replay, use_pallas=use_pallas))
 
 
 @functools.lru_cache(maxsize=None)
@@ -134,8 +134,13 @@ class BasicTokenizer:
 
         if self._device_merges is None:
             self._device_merges = jnp.asarray(np.asarray(self.merges, dtype=np.int32))
-        tokens, _ = core.pad_tokens(text, _encode_capacity(max(len(text), 1)))
-        out, length = _encode_jit()(tokens, self._device_merges)
+        from ..ops import pallas as pallas_pkg
+
+        capacity = _encode_capacity(max(len(text), 1))
+        tokens, _ = core.pad_tokens(text, capacity)
+        out, length = _encode_jit(pallas_pkg.merge_kernel_supported(capacity))(
+            tokens, self._device_merges
+        )
         return np.asarray(out)[: int(length)].tolist()
 
     def encode_batch(self, docs, row_length: Optional[int] = None) -> List[List[int]]:

@@ -414,20 +414,28 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
     )
 
 
-def encode_replay(tokens: jax.Array, merges: jax.Array):
+def encode_replay(tokens: jax.Array, merges: jax.Array, use_pallas: bool = False):
     """Encode by replaying the merge table in training order
     (basic_tokenizer.zig:71-88): one greedy pass + compaction per merge,
     as a ``lax.scan`` over the (M, 3) merge table. PAD rows are no-ops.
 
+    With ``use_pallas`` each pass is the fused streaming kernel — its
+    sparse-round fast paths make late merges (few hits) nearly free.
+
     Returns (tokens, length) with tokens prefix-compacted.
     """
+    if use_pallas:
+        from .pallas import merge as pallas_merge
 
     def step(toks, row):
         ta, tb, new_id = row[0], row[1], row[2]
         live = new_id >= 0
 
         def do(t):
-            out, _ = merge_pass(t, ta, tb, new_id)
+            if use_pallas:
+                out, _ = pallas_merge.merge_pass_pallas(t, ta, tb, new_id)
+            else:
+                out, _ = merge_pass(t, ta, tb, new_id)
             return out
 
         toks = jax.lax.cond(live, do, lambda t: t, toks)
