@@ -12,6 +12,11 @@ Results are **bit-identical** to single-chip training for any shard count:
   valid token of the next non-empty shard), fetched via tiny all_gathers —
   so every global adjacent pair is counted exactly once (SURVEY.md §7 hard
   part 3).
+* **Selection is lazy** (same architecture as ops.core.train_chunk_lazy): a
+  REPLICATED upper-bound table is popped identically on every shard, and
+  each batch of candidate bins is verified with one psum of shard-local
+  exact counts — the only per-round collectives are O(batch + D) scalars,
+  not a V^2 histogram.
 * **Cross-shard greedy parity**: leftmost-greedy overlap resolution
   (basic_tokenizer.zig:207-232 semantics) runs on *global* pair indices: a
   cummax parity scan locally, with a carry-in equal to the max global index
@@ -47,9 +52,10 @@ def data_mesh(devices=None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
-def _dp_round(tokens, merges, occ, k, *, vocab_size: int):
-    """One merge round on a shard of the corpus (runs inside shard_map)."""
-    V = vocab_size
+def _shard_pair_streams(tokens):
+    """Per-shard (a, b, pair_valid, L, G) with the boundary pair included:
+    shard d owns the pair (its last valid token, the first valid token of
+    the next non-empty shard), exchanged via tiny all_gathers."""
     n = tokens.shape[0]
     D = jax.lax.axis_size(AXIS)
     d = jax.lax.axis_index(AXIS)
@@ -74,14 +80,73 @@ def _dp_round(tokens, merges, occ, k, *, vocab_size: int):
     b = jnp.roll(tokens, -1).at[-1].set(PAD)
     b = jnp.where(j == L - 1, next_tok, b)  # boundary pair at local slot L-1
     pair_valid = (a >= 0) & (b >= 0)
+    return a, b, pair_valid, L, G
 
-    # ---- count: local histogram, exact integer all-reduce ----
+
+def init_ub_dp(tokens, *, vocab_size: int):
+    """Replicated upper-bound table: psum of per-shard histograms
+    (boundary pairs counted exactly once). Runs inside shard_map."""
+    V = vocab_size
+    a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
     pid = jnp.where(pair_valid, a * V + b, V * V)
     hist = jnp.zeros((V * V,), jnp.int32).at[pid].add(1, mode="drop")
-    hist = jax.lax.psum(hist, AXIS)
+    return jax.lax.psum(hist, AXIS)
 
-    ta, tb, cnt = core.select_top_pair(hist, V)
+
+def _dp_select_lazy(ub, tokens, *, vocab_size: int, batch: int = 8):
+    """Lazy batch-verified selection across shards: ub is replicated (every
+    shard computes the identical pop sequence); exact verification counts
+    are integer psums of shard-local counts — deterministic, so the
+    argmax + tie-break is bit-stable for any device count (SURVEY.md §7
+    hard part 2)."""
+    V = vocab_size
+    a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
+    pid_stream = jnp.where(pair_valid, a * V + b, -1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, ub.shape, 0)
+
+    def round_(state):
+        u, _, _, _ = state
+        masked = u
+        pids = []
+        for _ in range(batch):
+            c = jnp.max(masked)
+            pid = jnp.max(jnp.where(masked == c, ids, -1))
+            pids.append(pid)
+            masked = masked.at[pid].set(-1)
+        pids = jnp.stack(pids)
+        local = jnp.stack(
+            [jnp.sum((pid_stream == p).astype(jnp.int32)) for p in pids]
+        )
+        exact = jax.lax.psum(local, AXIS)
+        u = u.at[pids].set(exact)
+        c2 = jnp.max(u)
+        pid2 = jnp.max(jnp.where(u == c2, ids, -1))
+        verified = jnp.any(pids == pid2) | (c2 == 0)
+        return u, pid2, c2, verified
+
+    state = round_((ub, jnp.int32(-1), jnp.int32(0), jnp.bool_(False)))
+    ub, pid, c, _ = jax.lax.while_loop(
+        lambda s: ~s[3], round_, state
+    )
+    return pid // V, pid % V, c, ub
+
+
+def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int):
+    """One merge round on a shard of the corpus (runs inside shard_map)."""
+    V = vocab_size
+    n = tokens.shape[0]
+    D = jax.lax.axis_size(AXIS)
+    d = jax.lax.axis_index(AXIS)
+    idxs = jnp.arange(D, dtype=jnp.int32)
+    j = jnp.arange(n, dtype=jnp.int32)
+
+    ta, tb, cnt, ub = _dp_select_lazy(ub, tokens, vocab_size=V)
     new_id = VOCAB_START + k
+
+    a, b, pair_valid, L, G = _shard_pair_streams(tokens)
+    valid_tok = tokens >= 0
+    lengths = jax.lax.all_gather(L, AXIS)
+    nonempty = lengths > 0
 
     # ---- greedy hits with global parity ----
     c = pair_valid & (a == ta) & (b == tb)
@@ -109,46 +174,74 @@ def _dp_round(tokens, merges, occ, k, *, vocab_size: int):
 
     merges = merges.at[k].set(jnp.stack([ta, tb, new_id]))
     occ = occ.at[k].set(cnt)
+
+    # ---- replicated ub maintenance (same derivation as train_chunk_lazy:
+    # new (X, v) pairs sit where old (b, v) pairs were, (v, X) where (v, a),
+    # (X, X) where (b, a); all capped by the global hit count) ----
+    nhits = jax.lax.psum(jnp.sum(hit.astype(jnp.int32)), AXIS)
+    u2 = ub.reshape(V, V)
+    row_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (tb, 0), (1, V)), nhits)
+    col_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (0, ta), (V, 1)), nhits)
+    xx_bound = jnp.minimum(u2[tb, ta], nhits)
+    u2 = u2.at[ta, tb].set(0)
+    u2 = jax.lax.dynamic_update_slice(u2, row_bound, (new_id, 0))
+    u2 = jax.lax.dynamic_update_slice(u2, col_bound, (0, new_id))
+    u2 = u2.at[new_id, new_id].set(xx_bound)
+    ub = u2.reshape(V * V)
+
     # psum (not a host-side sum of the gathered lengths) so the total carries
     # the replicated type through the while_loop
     total_len = jax.lax.psum(jnp.sum(keep.astype(jnp.int32)), AXIS)
-    return tokens, merges, occ, k + 1, total_len
+    return tokens, ub, merges, occ, k + 1, total_len
 
 
-def _dp_chunk(tokens, merges, occ, k, *, vocab_size: int, max_rounds: int):
+def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int):
     """Up to max_rounds rounds inside one shard_map body (while_loop)."""
     M = merges.shape[0]
     target = jnp.minimum(k + max_rounds, M)
     total0 = jax.lax.psum(jnp.sum((tokens >= 0).astype(jnp.int32)), AXIS)
 
     def cond(state):
-        _, _, _, kk, total = state
+        _, _, _, _, kk, total = state
         return (kk < target) & (total >= 2)
 
     def body(state):
-        toks, mg, oc, kk, _ = state
-        toks, mg, oc, kk, total = _dp_round(toks, mg, oc, kk, vocab_size=vocab_size)
-        return toks, mg, oc, kk, total
+        toks, u, mg, oc, kk, _ = state
+        toks, u, mg, oc, kk, total = _dp_round(
+            toks, u, mg, oc, kk, vocab_size=vocab_size
+        )
+        return toks, u, mg, oc, kk, total
 
-    toks, mg, oc, kk, total = jax.lax.while_loop(
-        cond, body, (tokens, merges, occ, k, total0)
+    toks, u, mg, oc, kk, total = jax.lax.while_loop(
+        cond, body, (tokens, ub, merges, occ, k, total0)
     )
-    return toks, mg, oc, kk, total
+    return toks, u, mg, oc, kk, total
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("vocab_size", "max_rounds", "mesh"),
-    donate_argnums=(0, 1, 2),
+    donate_argnums=(0, 1, 2, 3),
 )
-def _dp_chunk_jit(tokens, merges, occ, k, *, vocab_size, max_rounds, mesh):
+def _dp_chunk_jit(tokens, ub, merges, occ, k, *, vocab_size, max_rounds, mesh):
     fn = jax.shard_map(
         functools.partial(_dp_chunk, vocab_size=vocab_size, max_rounds=max_rounds),
         mesh=mesh,
-        in_specs=(P(AXIS), P(), P(), P()),
-        out_specs=(P(AXIS), P(), P(), P(), P()),
+        in_specs=(P(AXIS), P(), P(), P(), P()),
+        out_specs=(P(AXIS), P(), P(), P(), P(), P()),
     )
-    return fn(tokens, merges, occ, k)
+    return fn(tokens, ub, merges, occ, k)
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_size", "mesh"))
+def _init_ub_jit(tokens, *, vocab_size, mesh):
+    fn = jax.shard_map(
+        functools.partial(init_ub_dp, vocab_size=vocab_size),
+        mesh=mesh,
+        in_specs=(P(AXIS),),
+        out_specs=P(),
+    )
+    return fn(tokens)
 
 
 def shard_corpus(data: bytes, mesh: Mesh, per_shard_capacity: Optional[int] = None):
@@ -189,6 +282,7 @@ def train_dp(
 
     tokens = shard_corpus(data, mesh)
     rep = NamedSharding(mesh, P())
+    ub = _init_ub_jit(tokens, vocab_size=vocab_size, mesh=mesh)
     merges = jax.device_put(jnp.full((M, 3), PAD, jnp.int32), rep)
     occ = jax.device_put(jnp.zeros((M,), jnp.int32), rep)
     k = jax.device_put(jnp.int32(0), rep)
@@ -196,8 +290,8 @@ def train_dp(
     k_host, total_host = 0, len(data)
     while k_host < M and total_host >= 2:
         rounds = min(chunk_rounds, M - k_host)
-        tokens, merges, occ, k, total = _dp_chunk_jit(
-            tokens, merges, occ, k, vocab_size=vocab_size, max_rounds=rounds, mesh=mesh
+        tokens, ub, merges, occ, k, total = _dp_chunk_jit(
+            tokens, ub, merges, occ, k, vocab_size=vocab_size, max_rounds=rounds, mesh=mesh
         )
         prev_k, k_host, total_host = k_host, int(k), int(total)
         if verbose:
