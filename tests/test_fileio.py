@@ -39,3 +39,11 @@ def test_read_file_mmap(tmp_path):
     p.write_bytes(bytes(range(200)))
     view = fileio.read_file_mmap(p)
     assert bytes(view) == bytes(range(200))
+
+
+def test_count_text_size(tmp_path):
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"hello corpus")
+    from zigbpe_tpu.utils import fileio
+
+    assert fileio.count_text_size(p) == 12

@@ -37,6 +37,13 @@ def read_file_mmap(path: str | os.PathLike) -> memoryview:
     return memoryview(mm)
 
 
+def count_text_size(path: str | os.PathLike) -> int:
+    """Size of a corpus file in bytes without reading it — the analogue of
+    the reference's comptime ``countTextSize`` (utils/count_text_size.zig:6-9,
+    unused there; here it sizes capacity planning before upload)."""
+    return os.path.getsize(path)
+
+
 def host_slice(total_size: int, host_id: int, host_count: int) -> Tuple[int, int]:
     """Contiguous byte range [start, end) owned by ``host_id`` of
     ``host_count`` — multi-host corpora are split exactly like device shards
