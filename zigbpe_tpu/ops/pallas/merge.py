@@ -256,91 +256,99 @@ def _merge_kernel(
     new_tok = scalars[2]
 
     tok = tok_ref[:]
-    nxt = _shift_left_flat(tok, 1, jnp.int32(PAD))
-    # the block-edge pair's second token comes from the next block's first elem
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-    is_last = (row == R - 1) & (col == LANES - 1)
-    edge_second = jnp.where(i == G - 1, jnp.int32(PAD), nxt_ref[0, 0])
-    nxt = jnp.where(is_last, edge_second, nxt)
-
-    cand = (tok == a) & (nxt == b) & (nxt >= 0) & (tok >= 0)
-    gidx = i * C + row * LANES + col
-    non_cand_idx = jnp.where(cand, NEG, gidx)
-
-    # leftmost-greedy parity for a == b runs (global pair indices); for
-    # a != b candidates cannot overlap, so skip the scan entirely.
-    # (cond branches yield int32 — Mosaic cannot yield i1 vectors)
-    def with_parity(c_mask):
-        last_nonc = jnp.maximum(_max_scan_flat(non_cand_idx), carry[0])
-        return (c_mask & (((gidx - last_nonc) & 1) == 1)).astype(jnp.int32)
-
-    hit = jax.lax.cond(
-        a == b, with_parity, lambda c_mask: c_mask.astype(jnp.int32), cand
-    ) == 1
-
-    # kills: partner of an in-block hit, or the kill-first carry
-    # (shift in int32 — Mosaic cannot shift/concat i1 vectors)
-    killed = _shift_right_flat(hit.astype(jnp.int32), 1, 0) == 1
-    killed = killed | ((gidx == i * C) & (carry[1] == 1))
-
-    written = jnp.where(hit, new_tok, tok)
-    keep = (tok >= 0) & ~killed
-    kept = jnp.sum(keep.astype(jnp.int32))
-    nhits_blk = jnp.sum(hit.astype(jnp.int32))
-    nkilled = jnp.sum(killed.astype(jnp.int32))
-
-    # compact kept elements to the block front; with no kills `written`
-    # is already a PAD-tailed prefix (PAD only ever in the input tail)
-    def compact(w):
-        dest = _sum_scan_flat(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
-        return _compact_bitmove(w, keep, dest)
-
-    compacted = jax.lax.cond(nkilled > 0, compact, lambda w: w, written)
-
-    # ---- stage: software unaligned append into the 4C ring ----
-    # rotate within the C-domain (mod C); ring positions congruent mod C
-    # read the same source, so one rotation serves all 4 ring blocks
-    pending = carry[2]
-    pmod = pending & (4 * C - 1)
-
-    def rotate(v):
-        amt = pending & (C - 1)
-        step = 1
-        while step < C:
-            v = jnp.where((amt & step) != 0, _rotate_flat(v, step), v)
-            step *= 2
-        return v
-
-    rot = jax.lax.cond((pending & (C - 1)) > 0, rotate, lambda v: v, compacted)
+    valid_cnt = jnp.sum((tok >= 0).astype(jnp.int32))
     sidx = (
         jax.lax.broadcasted_iota(jnp.int32, (4 * R, LANES), 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, (4 * R, LANES), 1)
     )
-    d = sidx - pmod
-    d = jnp.where(d < 0, d + 4 * C, d)
-    in_range = d < kept
-    tiled = jnp.concatenate([rot, rot, rot, rot], axis=0)
-    staging[:] = jnp.where(in_range, tiled, staging[:])
-    pending = pending + kept
-    carry[2] = pending
 
-    # ---- start (don't wait) one ring-block flush if a block filled ----
-    flushed = carry[3]
+    # All-PAD tail blocks (prefix invariant: once the tail starts nothing
+    # follows) carry no candidates, no kills, no staged data — skip all
+    # vector work. The carries are untouched: an edge hit into a PAD block
+    # is impossible, so kill-first is already 0.
+    @pl.when(valid_cnt > 0)
+    def _process():
+        nxt = _shift_left_flat(tok, 1, jnp.int32(PAD))
+        # the block-edge pair's second token comes from the next block
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        is_last = (row == R - 1) & (col == LANES - 1)
+        edge_second = jnp.where(i == G - 1, jnp.int32(PAD), nxt_ref[0, 0])
+        nxt2 = jnp.where(is_last, edge_second, nxt)
 
-    @pl.when(pending - flushed * C >= C)
-    def _flush():
-        pltpu.make_async_copy(
-            staging.at[pl.ds((flushed % 4) * R, R), :],
-            out_ref.at[pl.ds(flushed * R, R), :],
-            sem.at[flushed % 4],
-        ).start()
-        carry[3] = flushed + 1
+        cand = (tok == a) & (nxt2 == b) & (nxt2 >= 0) & (tok >= 0)
+        gidx = i * C + row * LANES + col
+        non_cand_idx = jnp.where(cand, NEG, gidx)
 
-    carry[0] = jnp.maximum(carry[0], jnp.max(non_cand_idx))
-    carry[1] = hit.astype(jnp.int32)[R - 1, LANES - 1]
-    carry[4] = carry[4] + nhits_blk
-    carry[5] = carry[5] + jnp.sum((tok >= 0).astype(jnp.int32))
+        # leftmost-greedy parity for a == b runs (global pair indices); for
+        # a != b candidates cannot overlap, so skip the scan entirely.
+        # (cond branches yield int32 — Mosaic cannot yield i1 vectors)
+        def with_parity(c_mask):
+            last_nonc = jnp.maximum(_max_scan_flat(non_cand_idx), carry[0])
+            return (c_mask & (((gidx - last_nonc) & 1) == 1)).astype(jnp.int32)
+
+        hit = jax.lax.cond(
+            a == b, with_parity, lambda c_mask: c_mask.astype(jnp.int32), cand
+        ) == 1
+
+        # kills: partner of an in-block hit, or the kill-first carry
+        # (shift in int32 — Mosaic cannot shift/concat i1 vectors)
+        killed = _shift_right_flat(hit.astype(jnp.int32), 1, 0) == 1
+        killed = killed | ((gidx == i * C) & (carry[1] == 1))
+
+        written = jnp.where(hit, new_tok, tok)
+        keep = (tok >= 0) & ~killed
+        kept = jnp.sum(keep.astype(jnp.int32))
+        nhits_blk = jnp.sum(hit.astype(jnp.int32))
+        nkilled = jnp.sum(killed.astype(jnp.int32))
+
+        # compact kept elements to the block front; with no kills `written`
+        # is already a PAD-tailed prefix (PAD only ever in the input tail)
+        def compact(w):
+            dest = _sum_scan_flat(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
+            return _compact_bitmove(w, keep, dest)
+
+        compacted = jax.lax.cond(nkilled > 0, compact, lambda w: w, written)
+
+        # ---- stage: software unaligned append into the 4C ring ----
+        # rotate within the C-domain (mod C); ring positions congruent mod C
+        # read the same source, so one rotation serves all 4 ring blocks
+        pending = carry[2]
+        pmod = pending & (4 * C - 1)
+
+        def rotate(v):
+            amt = pending & (C - 1)
+            step = 1
+            while step < C:
+                v = jnp.where((amt & step) != 0, _rotate_flat(v, step), v)
+                step *= 2
+            return v
+
+        rot = jax.lax.cond((pending & (C - 1)) > 0, rotate, lambda v: v, compacted)
+        d = sidx - pmod
+        d = jnp.where(d < 0, d + 4 * C, d)
+        in_range = d < kept
+        tiled = jnp.concatenate([rot, rot, rot, rot], axis=0)
+        staging[:] = jnp.where(in_range, tiled, staging[:])
+        pending = pending + kept
+        carry[2] = pending
+
+        # ---- start (don't wait) one ring-block flush if a block filled ----
+        flushed = carry[3]
+
+        @pl.when(pending - flushed * C >= C)
+        def _flush():
+            pltpu.make_async_copy(
+                staging.at[pl.ds((flushed % 4) * R, R), :],
+                out_ref.at[pl.ds(flushed * R, R), :],
+                sem.at[flushed % 4],
+            ).start()
+            carry[3] = flushed + 1
+
+        carry[0] = jnp.maximum(carry[0], jnp.max(non_cand_idx))
+        carry[1] = hit.astype(jnp.int32)[R - 1, LANES - 1]
+        carry[4] = carry[4] + nhits_blk
+        carry[5] = carry[5] + valid_cnt
 
     # ---- final step: drain, flush the partial tail, PAD-fill the gap ----
     @pl.when(i == G - 1)
