@@ -6,14 +6,17 @@ block_until_ready timing lies):
 
 * **XLA scatter and gather are pathologically slow here** (~0.14 Ge/s;
   scatter-add serializes on colliding text-distributed indices). Neither
-  appears anywhere hot.
-* Top-pair selection = **sort + segment scan** over pair ids
-  (select_top_pair_sorted, ~15 ms): sorting groups equal pairs into runs;
-  run lengths via cummax of run-start indices; argmax + tie-break (largest
+  appears anywhere hot (the one exception: the once-per-train ub
+  initialisation histogram).
+* Primary top-pair selection = **lazy upper bounds + batch verification**
+  (select_top_pair_lazy + train_chunk_lazy): no per-round histogram or
+  sort at all; typically one masked corpus reduction per round. The
+  sort+segment-scan path (select_top_pair_sorted, ~15 ms/round) is the
+  fallback for vocab sizes past the dense-ub limit, and the dense
+  histogram (pair_histogram + select_top_pair) initialises ub and serves
+  small utilities/tests. All three implement the same tie-break (largest
   (first, second) wins, reproducing the reference's single golden tie,
-  SURVEY.md §2.3.3) are two reductions. No V*V histogram is materialized.
-  The dense-histogram path (pair_histogram + select_top_pair) is kept for
-  the data-parallel trainer, which psum-reduces histograms across shards.
+  SURVEY.md §2.3.3).
 * Leftmost-greedy overlap resolution (basic_tokenizer.zig:207-232) is a
   ``cummax`` parity scan: a run of candidate pairs only occurs when
   first==second, and greedy selects every other candidate from the run
