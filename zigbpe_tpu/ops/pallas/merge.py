@@ -325,11 +325,28 @@ def _merge_kernel(
             return v
 
         rot = jax.lax.cond((pending & (C - 1)) > 0, rotate, lambda v: v, compacted)
-        d = sidx - pmod
-        d = jnp.where(d < 0, d + 4 * C, d)
-        in_range = d < kept
-        tiled = jnp.concatenate([rot, rot, rot, rot], axis=0)
-        staging[:] = jnp.where(in_range, tiled, staging[:])
+        # Ring quadrants are C-congruent, so the rotated block maps onto
+        # every quadrant identically — update ONLY the (at most two)
+        # quadrants the window [pmod, pmod+kept) actually touches, with
+        # static slices (a full-ring masked merge costs 4x the traffic).
+        cidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        )
+        lo = pmod
+        hi = pmod + kept  # <= 5C; may wrap past the ring end
+        for q in range(4):
+            touched = ((lo < (q + 1) * C) & (hi > q * C)) | (hi - 4 * C > q * C)
+
+            @pl.when(touched)
+            def _(q=q):
+                dq = q * C + cidx - pmod
+                dq = jnp.where(dq < 0, dq + 4 * C, dq)
+                in_q = dq < kept
+                staging[q * R : (q + 1) * R, :] = jnp.where(
+                    in_q, rot, staging[q * R : (q + 1) * R, :]
+                )
+
         pending = pending + kept
         carry[2] = pending
 
