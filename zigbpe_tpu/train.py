@@ -23,7 +23,10 @@ from .utils.profiling import TimeStats
 
 Merge = Tuple[int, int, int]
 
-MIN_CAPACITY = 1024
+# Shrink floor = the Pallas merge-kernel block (ops.pallas.BLOCK): staying
+# block-aligned keeps every shrink step on the kernel path instead of
+# cascading through per-capacity XLA recompiles for tiny tails.
+MIN_CAPACITY = 16384
 
 
 def _round_capacity(n: int) -> int:
