@@ -46,3 +46,12 @@ def test_encode_matches_oracle():
 def test_golden(corpus_bytes, golden_merges):
     assert fastio.train(corpus_bytes, 300) == golden_merges
     assert len(fastio.encode(corpus_bytes, golden_merges)) == 128451
+
+
+def test_byte_pair_hist_matches_oracle():
+    data = b"aaab hello hello"
+    hist = fastio.byte_pair_hist(data)
+    assert hist is not None
+    want = oracle.count_pairs(list(data))
+    got = {(a, b): int(c) for (a, b), c in np.ndenumerate(hist) if c}
+    assert got == dict(want)

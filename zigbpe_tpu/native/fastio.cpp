@@ -123,6 +123,19 @@ int64_t zbpe_train(const uint8_t* data, int64_t n, int32_t vocab_size,
   return k;
 }
 
+// -------------------------------------------------------- byte-pair counts
+
+// Histogram of adjacent BYTE pairs (the byte-level initial token stream,
+// basic_tokenizer.zig:155-170 + :234-278 semantics, overlaps included).
+// out must hold 256*256 int32s. Feeds the device trainer's upper-bound
+// table initialisation: raw-byte pairs only ever hit the low 256x256
+// block of the V*V table, and the host computes this while the corpus is
+// still in host memory — cheaper than a device scatter over the stream.
+void zbpe_byte_pair_hist(const uint8_t* data, int64_t n, int32_t* out) {
+  std::memset(out, 0, 256 * 256 * sizeof(int32_t));
+  for (int64_t i = 0; i + 1 < n; ++i) out[(int32_t)data[i] * 256 + data[i + 1]]++;
+}
+
 // ----------------------------------------------------------------- encode
 
 // Encode by replaying merges in training order (basic_tokenizer.zig:71-88).

@@ -63,6 +63,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.zbpe_byte_pair_hist.restype = None
+        lib.zbpe_byte_pair_hist.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -99,6 +104,23 @@ def train(data: bytes, vocab_size: int) -> List[Merge]:
     if k < 0:
         raise ValueError("invalid arguments to native train")
     return [(out[i * 3], out[i * 3 + 1], out[i * 3 + 2]) for i in range(k)]
+
+
+def byte_pair_hist(data: bytes):
+    """(256, 256) int32 histogram of adjacent byte pairs (overlaps
+    included) — the host-side seed for the device trainer's upper-bound
+    table. Returns None when the native library is unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros((256 * 256,), dtype=np.int32)
+    buf = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(data or b"\0")
+    lib.zbpe_byte_pair_hist(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    )
+    return out.reshape(256, 256)
 
 
 def encode(data: bytes, merges: Sequence[Sequence[int]]) -> List[int]:

@@ -67,6 +67,15 @@ def _init_ub(tokens, *, vocab_size):
     return core.pair_histogram(tokens, vocab_size)
 
 
+@functools.partial(jax.jit, static_argnames=("vocab_size",))
+def _place_byte_hist(block, *, vocab_size):
+    """Seed the V*V upper-bound table from a host-computed (256, 256)
+    byte-pair histogram: a raw byte stream only populates the low block."""
+    V = vocab_size
+    ub = jnp.zeros((V, V), jnp.int32)
+    return ub.at[:256, :256].set(block).reshape(V * V)
+
+
 # Above this vocab size the dense V^2 upper-bound table gets expensive
 # (memory + per-pop argmax); fall back to the sort-based selection.
 LAZY_VOCAB_MAX = 8192
@@ -141,7 +150,17 @@ def train(
     ub = None
     if lazy:
         with (stats or TimeStats.null()).phase("count_pairs"):
-            ub = _init_ub(tokens, vocab_size=vocab_size)
+            if start_tokens is None:
+                # fresh byte corpus: the native C++ runtime counts pairs on
+                # the host (only the 256x256 block is populated) — cheaper
+                # than a device scatter over the uploaded stream
+                from .native import fastio
+
+                block = fastio.byte_pair_hist(data)
+                if block is not None:
+                    ub = _place_byte_hist(jnp.asarray(block), vocab_size=vocab_size)
+            if ub is None:
+                ub = _init_ub(tokens, vocab_size=vocab_size)
 
     chunks_done = 0
     while k_host < M and length_host >= 2:
