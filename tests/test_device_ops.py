@@ -69,6 +69,28 @@ def test_select_top_pair_sorted_matches_histogram_path():
         assert (int(ha), int(hb), int(hc)) == (int(sa), int(sb), int(sc))
 
 
+def test_select_top_pair_sorted_huge_vocab_no_overflow():
+    # a*V+b would overflow int32 at V=65536; the two-key sort must not
+    V = 65536
+    arr = toks(b"hello world hello", 32)
+    ta, tb, cnt = core.select_top_pair_sorted(arr, V)
+    # count-2 tie resolves to the lexicographically largest pair: ('l','o')
+    assert (int(ta), int(tb), int(cnt)) == (ord("l"), ord("o"), 2)
+
+
+def test_train_chunk_sorted_path_huge_vocab():
+    data = b"hello world hello hello"
+    V = 65535
+    arr, n = core.pad_tokens(data, 32)
+    merges = jnp.full((8, 3), core.PAD, jnp.int32)
+    occ = jnp.zeros((8,), jnp.int32)
+    _, _, merges, _, k = core.train_chunk(
+        arr, n, merges, occ, jnp.int32(0), vocab_size=V, max_rounds=8
+    )
+    got = [tuple(r) for r in np.asarray(merges[: int(k)]).tolist()]
+    assert got == oracle.train(data, 256 + 8)
+
+
 def test_select_top_pair_sorted_empty_and_tiny():
     V = 300
     arr = jnp.full((8,), core.PAD, jnp.int32)

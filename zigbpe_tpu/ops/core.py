@@ -131,23 +131,31 @@ def select_top_pair_sorted(tokens: jax.Array, vocab_size: int):
 
     Same contract as select_top_pair: returns (first, second, count);
     count==0 means no pairs exist (basic_tokenizer.zig:188-191).
+
+    Pairs are sorted as TWO keys (first, second) rather than a flattened
+    pair id: ``a * V + b`` would overflow int32 for V > 46341, and the
+    u16 vocab cap is 65536 (basic_tokenizer.zig:140).
     """
-    V = vocab_size
     a = tokens
     b = jnp.roll(tokens, -1).at[-1].set(PAD)
     valid = b >= 0
-    pid = jnp.where(valid, a * V + b, jnp.int32(V * V))  # invalid sorts last
-    s = jnp.sort(pid)
-    n = s.shape[0]
+    # invalid pairs sort last (V is at most 2^16, so 2^17 beats any token)
+    BIG = jnp.int32(1 << 17)
+    ka = jnp.where(valid, a, BIG)
+    kb = jnp.where(valid, b, BIG)
+    sa, sb = jax.lax.sort((ka, kb), num_keys=2)
+    n = sa.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    boundary = s[1:] != s[:-1]
+    boundary = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
     is_start = jnp.concatenate([jnp.ones((1,), bool), boundary])
     is_end = jnp.concatenate([boundary, jnp.ones((1,), bool)])
     start_idx = jax.lax.cummax(jnp.where(is_start, idx, -1))
-    run_len = jnp.where(is_end & (s < V * V), idx + 1 - start_idx, 0)
+    run_len = jnp.where(is_end & (sa < BIG), idx + 1 - start_idx, 0)
     maxlen = jnp.max(run_len)
-    top = jnp.max(jnp.where(run_len == maxlen, s, -1))
-    return top // V, top % V, maxlen
+    # tie-break: lexicographically largest (first, second) among max runs
+    top_a = jnp.max(jnp.where(run_len == maxlen, sa, -1))
+    top_b = jnp.max(jnp.where((run_len == maxlen) & (sa == top_a), sb, -1))
+    return top_a, top_b, maxlen
 
 
 def count_pair(tokens: jax.Array, first, second):

@@ -275,6 +275,12 @@ def train_dp(
     """Data-parallel training; merge-order identical to single-chip/oracle."""
     if vocab_size < VOCAB_START:
         raise ValueError(f"vocab_size must be >= 256, got {vocab_size}")
+    if vocab_size > 8192:
+        # the replicated dense ub table is V^2 int32 per device; past 8192
+        # use the single-chip sorted path or raise the corpus per shard
+        raise ValueError(
+            f"train_dp supports vocab_size <= 8192 (dense replicated ub); got {vocab_size}"
+        )
     M = vocab_size - VOCAB_START
     if M == 0 or len(data) < 2:
         return []
