@@ -38,3 +38,13 @@ def test_encode_matches_oracle():
 
 def test_golden(corpus_bytes, golden_merges):
     assert nb.train(corpus_bytes, 300) == golden_merges
+
+
+def test_train_huge_vocab_no_overflow():
+    # pair ids near the u16 vocab cap overflow int32; the sparse path must not
+    from zigbpe_tpu.models import numpy_backend, oracle
+
+    data = b"hello world hello hello"
+    got = numpy_backend.train(data, 65535)
+    want = oracle.train(data, 65535)
+    assert got == want

@@ -57,10 +57,15 @@ def train(data: bytes | str, vocab_size: int, verbose: bool = False) -> List[Mer
     for new_id in range(VOCAB_START, vocab_size):
         if toks.size < 2:
             break
-        pid = toks[:-1] * V + toks[1:]
-        counts = np.bincount(pid)
-        mx = counts.max()
-        top = np.nonzero(counts == mx)[0].max()  # tie-break: larger pair wins
+        pid = toks[:-1].astype(np.int64) * V + toks[1:]
+        if V <= 8192:  # dense bincount (fast path; V^2 fits comfortably)
+            counts = np.bincount(pid)
+            mx = counts.max()
+            top = np.nonzero(counts == mx)[0].max()  # tie-break: larger wins
+        else:  # sparse counting: no V^2 allocation, no int32 overflow
+            uniq, cnt = np.unique(pid, return_counts=True)
+            mx = cnt.max()
+            top = uniq[cnt == mx].max()
         ta, tb = int(top) // V, int(top) % V
         if verbose:
             print(
