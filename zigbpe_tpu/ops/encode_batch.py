@@ -5,8 +5,9 @@ scan (basic_tokenizer.zig:71-88). For throughput serving (BASELINE.json
 config 3: "apply frozen merge table to 1GB corpus, batched padded
 sequences") the TPU-native shape is a [B, L] batch of PAD-padded rows: each
 merge is one vectorized greedy pass over the whole batch (rows are
-independent), scanned over the merge table. Compaction is per-row
-cumsum + 2D scatter.
+independent), scanned over the merge table. Compaction is a per-row
+stable sort on a dead key (XLA scatter serializes at ~0.14 Ge/s on this
+backend; lax.sort along the last axis compacts every row at once).
 """
 
 from __future__ import annotations
@@ -48,9 +49,11 @@ def _batch_merge_pass(tokens: jax.Array, first, second, new_token):
     written = jnp.where(hit, new_token, tokens)
     killed = jnp.roll(hit, 1, axis=1).at[:, 0].set(False)
     keep = (tokens >= 0) & ~killed
-    pos = jnp.where(keep, jnp.cumsum(keep, axis=1).astype(jnp.int32) - 1, L)
-    row = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
-    return jnp.full((B, L), PAD, jnp.int32).at[row, pos].set(written, mode="drop")
+    key = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+    _, out = jax.lax.sort(
+        (key, jnp.where(keep, written, PAD)), num_keys=1, is_stable=True
+    )
+    return out
 
 
 def encode_batch(tokens: jax.Array, merges: jax.Array):
