@@ -4,10 +4,10 @@ The reference is a single process (SURVEY.md §2.2). For pod-slice training
 the framework uses JAX's single-controller-per-host SPMD model: every host
 calls :func:`initialize`, loads only its contiguous corpus slice
 (utils/fileio.host_slice), and runs the same data-parallel chunk
-(parallel/train_dp) over a global mesh; pair counts psum over ICI within a
-host and DCN across hosts, and the merge table stays replicated. Counting
-uses exact integer collectives, so merges are bit-identical to single-host
-runs (SURVEY.md §7 stage 4).
+(parallel/train_dp) over a global mesh; selection verifies candidate pairs
+with exact integer psums over ICI within a host and DCN across hosts, and
+the merge table + upper-bound table stay replicated — so merges are
+bit-identical to single-host runs (SURVEY.md §7 stage 4).
 
 This module cannot be exercised on single-host CI; it is covered by the
 multi-chip dry run (virtual device mesh) plus these thin, testable shims.
