@@ -74,11 +74,14 @@ def main() -> None:
         assert len(merges) == MERGES, f"expected {MERGES} merges, got {len(merges)}"
     device_bps = len(data) / wall
 
-    # NumPy host baseline on a slice (linear in corpus bytes per round).
+    # NumPy host baseline on a slice (linear in corpus bytes per round);
+    # best of 2, symmetric with the device measurement.
     base_slice = data[:BASELINE_SLICE]
-    t0 = time.perf_counter()
-    base_merges = numpy_backend.train(base_slice, VOCAB)
-    base_wall = time.perf_counter() - t0
+    base_wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        base_merges = numpy_backend.train(base_slice, VOCAB)
+        base_wall = min(base_wall, time.perf_counter() - t0)
     baseline_bps = len(base_slice) / base_wall
     del base_merges
 

@@ -299,7 +299,8 @@ def train_dp(
         tokens, ub, merges, occ, k, total = _dp_chunk_jit(
             tokens, ub, merges, occ, k, vocab_size=vocab_size, max_rounds=rounds, mesh=mesh
         )
-        prev_k, k_host, total_host = k_host, int(k), int(total)
+        kt = np.asarray(jnp.stack([k, total]))  # one host round-trip
+        prev_k, k_host, total_host = k_host, int(kt[0]), int(kt[1])
         if verbose:
             mg = np.asarray(merges[prev_k:k_host])
             oc = np.asarray(occ[prev_k:k_host])

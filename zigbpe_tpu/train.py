@@ -179,8 +179,11 @@ def train(
                     vocab_size=vocab_size, max_rounds=rounds,
                     use_pallas=use_pallas,
                 )
-            length_host = int(length)
-            prev_k, k_host = k_host, int(k)
+            # one host round-trip for both scalars (each sync pays the
+            # full tunnel latency)
+            lk = np.asarray(jnp.stack([length, k]))
+            length_host = int(lk[0])
+            prev_k, k_host = k_host, int(lk[1])
 
         if verbose:
             mg = np.asarray(merges[prev_k:k_host])
