@@ -43,13 +43,19 @@ import functools as _functools
 
 
 @_functools.partial(jax.jit, static_argnames=("capacity",))
-def _unpack_bytes(packed: jax.Array, n, *, capacity: int):
-    """Device-side: 4 packed corpus bytes per int32 -> PAD-tailed tokens."""
-    b0 = packed & 0xFF
-    b1 = (packed >> 8) & 0xFF
-    b2 = (packed >> 16) & 0xFF
-    b3 = (packed >> 24) & 0xFF
-    toks = jnp.stack([b0, b1, b2, b3], axis=1).reshape(-1)[:capacity]
+def _unpack_bytes(words: jax.Array, n, *, capacity: int):
+    """Device-side: (rows, 32) packed words -> PAD-tailed int32[capacity].
+
+    The host packs row-transposed (pad_tokens), so unpacking is a LANE
+    CONCAT of four shifted views — every intermediate is (rows, 32/128),
+    which tiles cleanly. (A naive per-word interleave would materialize
+    an (n/4, 4) layout, which the TPU pads 32x in the lane dimension —
+    16 GB of padding for a 128 MB corpus.)"""
+    u0 = words & 0xFF
+    u1 = (words >> 8) & 0xFF
+    u2 = (words >> 16) & 0xFF
+    u3 = (words >> 24) & 0xFF
+    toks = jnp.concatenate([u0, u1, u2, u3], axis=1).reshape(-1)
     idx = jnp.arange(capacity, dtype=jnp.int32)
     return jnp.where(idx < n, toks, PAD)
 
@@ -61,19 +67,29 @@ def pad_tokens(byte_array, capacity: int):
     The corpus crosses the host->device link PACKED, 4 bytes per int32
     (this backend's transfer path moves int32 payloads ~4x faster per
     corpus byte than materialized int32 tokens; uint8 uploads are
-    pathologically slow). Unpack + PAD-masking run on device."""
+    pathologically slow). The host packs each 128-byte row transposed —
+    word w of a row holds bytes (w, w+32, w+64, w+96) — so the device
+    unpack is a clean lane concat (see _unpack_bytes). PAD-masking runs
+    on device."""
     import numpy as np
 
     data = bytes(byte_array)
     n = len(data)
     if n > capacity:
         raise ValueError(f"corpus length {n} exceeds capacity {capacity}")
-    if capacity % 4:
-        raise ValueError(f"capacity {capacity} must be a multiple of 4")
+    if capacity % 128:
+        # tiny capacities: upload int32 tokens directly (packing needs
+        # 128-byte rows; the wire saving is irrelevant at this size)
+        buf = np.full((capacity,), PAD, dtype=np.int32)
+        buf[:n] = np.frombuffer(data, dtype=np.uint8)
+        return jnp.asarray(buf), jnp.int32(n)
     buf = np.zeros((capacity,), dtype=np.uint8)
     buf[:n] = np.frombuffer(data, dtype=np.uint8)
-    packed = jnp.asarray(buf.view("<i4"))
-    return _unpack_bytes(packed, jnp.int32(n), capacity=capacity), jnp.int32(n)
+    b = buf.reshape(-1, 4, 32).astype(np.uint32)
+    words = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)).astype(
+        np.int32
+    )  # (rows, 32)
+    return _unpack_bytes(jnp.asarray(words), jnp.int32(n), capacity=capacity), jnp.int32(n)
 
 
 def pad_token_ids(ids, capacity: int):
