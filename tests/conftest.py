@@ -30,24 +30,24 @@ import pytest
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running conformance tests")
 
+# Conformance fixtures are VENDORED (tests/data/) so the golden suite is
+# self-contained; the reference checkout, when present, is only used to
+# cross-check that the vendored copies have not drifted (test_fixture_parity).
+DATA_DIR = pathlib.Path(__file__).parent / "data"
+CORPUS_PATH = DATA_DIR / "taylorswift.txt"
+GOLDEN_MERGES_PATH = DATA_DIR / "merges.txt"
 REFERENCE_DIR = pathlib.Path("/root/reference")
-CORPUS_PATH = REFERENCE_DIR / "taylorswift.txt"
-GOLDEN_MERGES_PATH = REFERENCE_DIR / "merges.txt"
 
 
 @pytest.fixture(scope="session")
 def corpus_bytes() -> bytes:
     """The reference conformance corpus (185,768 bytes of UTF-8 lyrics)."""
-    if not CORPUS_PATH.exists():
-        pytest.skip("reference conformance corpus not available")
     return CORPUS_PATH.read_bytes()
 
 
 @pytest.fixture(scope="session")
 def golden_merges():
     """The reference's committed golden merge table: train(corpus, 300)."""
-    if not GOLDEN_MERGES_PATH.exists():
-        pytest.skip("reference golden merges not available")
     from zigbpe_tpu.utils import serde
 
     return serde.load(GOLDEN_MERGES_PATH)

@@ -35,7 +35,23 @@ def test_u16_range():
 
 def test_golden_file_byte_identical(golden_merges):
     """Serializing the golden merge table reproduces merges.txt byte-for-byte."""
-    import pathlib
+    from tests import conftest
 
-    golden_text = pathlib.Path("/root/reference/merges.txt").read_text()
+    golden_text = conftest.GOLDEN_MERGES_PATH.read_text()
     assert serde.dumps(golden_merges) == golden_text
+
+
+def test_fixture_parity_with_reference_checkout():
+    """The vendored fixtures must not drift from the upstream artifacts
+    (cross-check only when the reference checkout is present)."""
+    from tests import conftest
+
+    if not conftest.REFERENCE_DIR.exists():
+        pytest.skip("reference checkout not available")
+    for name, vendored in (
+        ("taylorswift.txt", conftest.CORPUS_PATH),
+        ("merges.txt", conftest.GOLDEN_MERGES_PATH),
+    ):
+        assert (
+            vendored.read_bytes() == (conftest.REFERENCE_DIR / name).read_bytes()
+        ), f"vendored {name} differs from the reference artifact"

@@ -1,0 +1,94 @@
+"""Compiled (Mosaic) Pallas kernel conformance on real TPU hardware.
+
+Mirrors the interpret-mode assertions of tests/test_pallas_merge.py but
+through the actual TPU codegen path, plus an end-to-end golden train
+(reference: /root/reference/src/basic_tokenizer.zig:207-232, merges.txt).
+"""
+
+import numpy as np
+import pytest
+
+
+def _merge_pass_ref(tokens, first, second, new_token):
+    out = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if i + 1 < n and tokens[i] == first and tokens[i + 1] == second:
+            out.append(new_token)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def _run_kernel(tokens_list, first, second, new_token, capacity=16384):
+    import jax.numpy as jnp
+
+    from zigbpe_tpu.ops.pallas import merge as pm
+
+    buf = np.full((capacity,), -1, np.int32)
+    buf[: len(tokens_list)] = tokens_list
+    out, nhits = pm.merge_pass_pallas(
+        jnp.asarray(buf), first, second, new_token
+    )
+    out = np.asarray(out)
+    n_valid = int((out >= 0).sum())
+    assert (out[:n_valid] >= 0).all(), "output is not a PAD-tailed prefix"
+    return out[:n_valid].tolist(), int(nhits)
+
+
+@pytest.mark.parametrize(
+    "toks,a,b",
+    [
+        (list(b"hello world hello"), ord("l"), ord("l")),
+        (list(b"aaa"), ord("a"), ord("a")),
+        (list(b"aaaa"), ord("a"), ord("a")),
+        (list(b"aaaaa"), ord("a"), ord("a")),
+        (list(b"abababab"), ord("a"), ord("b")),
+        ([], ord("a"), ord("b")),
+        (list(b"x"), ord("a"), ord("b")),
+    ],
+)
+def test_compiled_merge_pass(toks, a, b):
+    got, nhits = _run_kernel(toks, a, b, 256)
+    want = _merge_pass_ref(toks, a, b, 256)
+    assert got == want
+    assert nhits == (len(toks) - len(want))
+
+
+def test_compiled_merge_pass_fuzz():
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = int(rng.integers(2, 40000))
+        toks = rng.integers(0, 4, n).astype(np.int32).tolist()
+        a, b = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        cap = 65536
+        got, _ = _run_kernel(toks, a, b, 256, capacity=cap)
+        assert got == _merge_pass_ref(toks, a, b, 256), f"trial {trial}"
+
+
+def test_compiled_boundary_spanning_runs():
+    # candidate runs spanning kernel block boundaries (block = 16384 elems)
+    C = 128 * 128
+    toks = [5] * (C - 3) + [7] * 10 + [5] * 100
+    got, _ = _run_kernel(toks, 7, 7, 300, capacity=4 * C)
+    assert got == _merge_pass_ref(toks, 7, 7, 300)
+
+
+def test_golden_train_compiled(corpus_bytes, golden_merges):
+    """Full device train on the conformance corpus through the compiled
+    kernel path reproduces the committed golden merges."""
+    from zigbpe_tpu import train as train_mod
+
+    merges = train_mod.train(corpus_bytes, 300)
+    assert merges == golden_merges
+
+
+def test_device_encode_compiled(corpus_bytes, golden_merges):
+    from zigbpe_tpu import BasicTokenizer
+
+    tok = BasicTokenizer(golden_merges)
+    ids = tok.encode(corpus_bytes, backend="device")
+    assert len(ids) == 128451  # golden compression (SURVEY §2.3.9)
+    assert tok.decode(ids) == corpus_bytes

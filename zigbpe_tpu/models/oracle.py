@@ -127,10 +127,12 @@ def decode(token_ids: Sequence[int], merges: Sequence[Merge]) -> bytes:
     out = bytearray()
 
     def expand(tok: int) -> None:
-        if tok < VOCAB_START:
-            out.append(tok & 0xFF)
+        if 0 <= tok < VOCAB_START:
+            out.append(tok)
             return
         if tok not in table:
+            # the reference errors on any id outside the vocab
+            # (basic_tokenizer.zig:101 error.InvalidToken)
             raise InvalidTokenError(f"unknown token id {tok}")
         a, b = table[tok]
         expand(a)
