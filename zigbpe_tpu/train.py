@@ -81,6 +81,25 @@ def _place_byte_hist(block, *, vocab_size):
 LAZY_VOCAB_MAX = 8192
 
 
+def upload(data: bytes, stats: Optional[TimeStats] = None):
+    """Host->device staging only: pack + transfer the corpus and return
+    (tokens, length, ub_seed_block). Splitting this from :func:`train`
+    lets callers (bench, serving) account transfer and compute separately.
+    ``ub_seed_block`` is the host-computed (256, 256) byte-pair histogram
+    (or None), used to seed lazy selection without a device scatter."""
+    with (stats or TimeStats.null()).phase("initial_tokens"):
+        capacity = _round_capacity(len(data))
+        tokens, length = core.pad_tokens(data, capacity)
+    block = None
+    with (stats or TimeStats.null()).phase("count_pairs"):
+        from .native import fastio
+
+        hist = fastio.byte_pair_hist(data)
+        if hist is not None:
+            block = jnp.asarray(hist)
+    return tokens, length, block
+
+
 def train(
     data: bytes,
     vocab_size: int,
@@ -144,22 +163,70 @@ def train(
             k_host = 0
             length_host = len(data)
 
+    ub_seed_block = None
+    if start_tokens is None and vocab_size <= LAZY_VOCAB_MAX:
+        with (stats or TimeStats.null()).phase("count_pairs"):
+            # fresh byte corpus: the native C++ runtime counts pairs on
+            # the host (only the 256x256 block is populated) — cheaper
+            # than a device scatter over the uploaded stream
+            from .native import fastio
+
+            block = fastio.byte_pair_hist(data)
+            if block is not None:
+                ub_seed_block = jnp.asarray(block)
+
+    return train_device(
+        tokens, length, vocab_size,
+        length_host=length_host,
+        merges=merges, occupancy=occupancy, k=k, k_host=k_host,
+        capacity=capacity, ub_seed_block=ub_seed_block,
+        verbose=verbose, chunk_rounds=chunk_rounds, shrink=shrink,
+        stats=stats, checkpoint_dir=checkpoint_dir,
+        checkpoint_every_chunks=checkpoint_every_chunks,
+    )
+
+
+def train_device(
+    tokens,
+    length,
+    vocab_size: int,
+    *,
+    length_host: int,
+    merges=None,
+    occupancy=None,
+    k=None,
+    k_host: int = 0,
+    capacity: Optional[int] = None,
+    ub_seed_block=None,
+    verbose: bool = False,
+    chunk_rounds: int = 64,
+    shrink: bool = True,
+    stats: Optional[TimeStats] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every_chunks: int = 4,
+) -> List[Merge]:
+    """Run the training chunk loop on an already device-resident corpus
+    (see :func:`upload`). This is the compute path of :func:`train`,
+    exposed so callers can account host->device staging separately."""
+    M = vocab_size - core.VOCAB_START
+    if merges is None:
+        merges = jnp.full((M, 3), core.PAD, jnp.int32)
+    if occupancy is None:
+        occupancy = jnp.zeros((M,), jnp.int32)
+    if k is None:
+        k = jnp.int32(k_host)
+    if capacity is None:
+        capacity = tokens.shape[0]
+
     from .ops import pallas as pallas_pkg
 
     lazy = vocab_size <= LAZY_VOCAB_MAX
     ub = None
     if lazy:
         with (stats or TimeStats.null()).phase("count_pairs"):
-            if start_tokens is None:
-                # fresh byte corpus: the native C++ runtime counts pairs on
-                # the host (only the 256x256 block is populated) — cheaper
-                # than a device scatter over the uploaded stream
-                from .native import fastio
-
-                block = fastio.byte_pair_hist(data)
-                if block is not None:
-                    ub = _place_byte_hist(jnp.asarray(block), vocab_size=vocab_size)
-            if ub is None:
+            if ub_seed_block is not None:
+                ub = _place_byte_hist(ub_seed_block, vocab_size=vocab_size)
+            else:
                 ub = _init_ub(tokens, vocab_size=vocab_size)
 
     chunks_done = 0
