@@ -30,6 +30,30 @@ def _add_backend(p: argparse.ArgumentParser) -> None:
 
 
 def cmd_train(args) -> int:
+    import os
+
+    nproc = args.num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if nproc > 1:
+        # multi-host run: bring up jax.distributed, load only this host's
+        # device slices, train data-parallel over the global mesh
+        from .parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes, args.process_id)
+        tok = BasicTokenizer()
+        t0 = time.time()
+        tok.merges = multihost.train_from_files(
+            args.corpus, args.vocab, chunk_rounds=args.chunk_rounds,
+            verbose=args.verbose, checkpoint_dir=args.checkpoint_dir,
+        )
+        wall = time.time() - t0
+        if multihost.process_info()[0] == 0:
+            tok.save_merges(args.out)
+            print(
+                f"trained {len(tok.merges)} merges in {wall * 1e3:.0f} ms -> {args.out}",
+                file=sys.stderr,
+            )
+        return 0
+
     data = fileio.read_corpus(args.corpus)
     tok = BasicTokenizer()
     t0 = time.time()
@@ -37,11 +61,16 @@ def cmd_train(args) -> int:
         from .parallel import train_dp as dp
 
         tok.merges = dp.train_dp(
-            data, args.vocab, chunk_rounds=args.chunk_rounds, verbose=args.verbose
+            data, args.vocab, chunk_rounds=args.chunk_rounds,
+            verbose=args.verbose, checkpoint_dir=args.checkpoint_dir,
         )
     else:
         backend = "device" if args.backend == "auto" else args.backend
-        kwargs = {"chunk_rounds": args.chunk_rounds} if backend == "device" else {}
+        kwargs = {}
+        if backend == "device":
+            kwargs["chunk_rounds"] = args.chunk_rounds
+            if args.checkpoint_dir:
+                kwargs["checkpoint_dir"] = args.checkpoint_dir
         tok.train(data, args.vocab, verbose=args.verbose, backend=backend, **kwargs)
     wall = time.time() - t0
     tok.save_merges(args.out)
@@ -106,6 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--verbose", action="store_true")
     t.add_argument("--chunk-rounds", type=int, default=64)
     t.add_argument("--time-stats", action="store_true")
+    t.add_argument("--checkpoint-dir", help="write/resume mid-training checkpoints here")
+    # multi-host runtime (jax.distributed); also settable via
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    t.add_argument("--coordinator", help="coordinator host:port for multi-host runs")
+    t.add_argument("--num-processes", type=int, help="total process count (multi-host)")
+    t.add_argument("--process-id", type=int, help="this process's id (multi-host)")
     _add_backend(t)
     t.set_defaults(fn=cmd_train)
 

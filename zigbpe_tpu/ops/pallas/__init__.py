@@ -2,7 +2,7 @@
 
 import jax
 
-BLOCK = 128 * 128  # merge kernel block size (block_rows=128 x 128 lanes)
+BLOCK = 256 * 128  # merge kernel block size (block_rows=256 x 128 lanes)
 
 
 def merge_kernel_supported(capacity: int) -> bool:

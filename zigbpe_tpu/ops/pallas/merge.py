@@ -169,31 +169,44 @@ def _sum_scan_flat(x):
     return _scan_flat(x, jnp.add, jnp.int32(0))
 
 
-def _compact_bitmove(val, keep, dest):
+def _compact_bitmove(val, keep, dest, nkilled, work_ref):
     """Move kept elements to their dest (exclusive cumsum of keep) — stable
-    stream compaction in log2(C) collision-free steps. Dropped slots -> PAD.
+    stream compaction in log2(C) collision-free steps, staged through the
+    ``work_ref`` VMEM scratch. Dropped slots -> PAD.
 
     The (value, remaining-shift) pair is PACKED into one int32
-    (shift << 17 | value; values < 2^17, shifts < 2^14) so each step moves
-    one array instead of two; packed < 0 marks a hole.
-    """
+    (shift << 16 | value; values are u16 tokens — the vocab cap is 65536
+    (basic_tokenizer.zig:140) — and shifts < 2^15) so each step moves one
+    array instead of two; packed < 0 marks a hole.
+
+    Every element's shift (= number of dropped slots before it) is bounded
+    by ``nkilled``, the block's kill count, so step 2^b only runs when
+    ``nkilled >= 2^b`` — sparse rounds (few kills) pay O(log nkilled)
+    steps, not O(log C). Steps are ``pl.when`` stores (real branches;
+    Mosaic cannot lower scalar-predicated vector selects)."""
     R, C = val.shape
     n = R * C
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
         + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
     )
-    packed = jnp.where(keep, ((idx - dest) << 17) | val, -1)
+    work_ref[:] = jnp.where(keep, ((idx - dest) << 16) | (val & 0xFFFF), -1)
     b = 1
     while b < n:
-        incoming = _shift_left_flat(packed, b, -1)
-        moving_in = (incoming >= 0) & (((incoming >> 17) & b) != 0)
-        staying = (packed >= 0) & (((packed >> 17) & b) == 0)
-        packed = jnp.where(
-            moving_in, incoming - (b << 17), jnp.where(staying, packed, -1)
-        )
+
+        @pl.when(nkilled >= b)
+        def _step(b=b):
+            p = work_ref[:]
+            incoming = _shift_left_flat(p, b, -1)
+            moving_in = (incoming >= 0) & (((incoming >> 16) & b) != 0)
+            staying = (p >= 0) & (((p >> 16) & b) == 0)
+            work_ref[:] = jnp.where(
+                moving_in, incoming - (b << 16), jnp.where(staying, p, -1)
+            )
+
         b *= 2
-    return jnp.where(packed >= 0, packed & ((1 << 17) - 1), PAD)
+    packed = work_ref[:]
+    work_ref[:] = jnp.where(packed >= 0, packed & 0xFFFF, PAD)
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +222,7 @@ def _merge_kernel(
     stats_ref,    # SMEM int32[2]: (nhits, new_length)
     staging,      # VMEM (4R, 128) ring of 4 flush blocks
     padblk,       # VMEM (4R, 128) scratch of PAD for tail fill
+    work,         # VMEM (R, 128) scratch: bit-move + rotation staging
     carry,        # SMEM int32[8]: see _init
     sem,          # DMA semaphore array (4,) for ring flushes
     pad_sem,      # DMA semaphore for tail PAD fills
@@ -304,27 +318,33 @@ def _merge_kernel(
 
         # compact kept elements to the block front; with no kills `written`
         # is already a PAD-tailed prefix (PAD only ever in the input tail)
-        def compact(w):
+        @pl.when(nkilled > 0)
+        def _do_compact():
             dest = _sum_scan_flat(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
-            return _compact_bitmove(w, keep, dest)
+            _compact_bitmove(written, keep, dest, nkilled, work)
 
-        compacted = jax.lax.cond(nkilled > 0, compact, lambda w: w, written)
+        @pl.when(nkilled == 0)
+        def _no_compact():
+            work[:] = written
 
         # ---- stage: software unaligned append into the 4C ring ----
         # rotate within the C-domain (mod C); ring positions congruent mod C
-        # read the same source, so one rotation serves all 4 ring blocks
+        # read the same source, so one rotation serves all 4 ring blocks.
+        # Each set bit of the rotation amount is a real pl.when branch — a
+        # select-based formulation would compute every power-of-two rotation
         pending = carry[2]
         pmod = pending & (4 * C - 1)
+        amt = pending & (C - 1)
+        step = 1
+        while step < C:
 
-        def rotate(v):
-            amt = pending & (C - 1)
-            step = 1
-            while step < C:
-                v = jnp.where((amt & step) != 0, _rotate_flat(v, step), v)
-                step *= 2
-            return v
+            @pl.when((amt & step) != 0)
+            def _rot(step=step):
+                work[:] = _rotate_flat(work[:], step)
 
-        rot = jax.lax.cond((pending & (C - 1)) > 0, rotate, lambda v: v, compacted)
+            step *= 2
+
+        rot = work[:]
         # Ring quadrants are C-congruent, so the rotated block maps onto
         # every quadrant identically — update ONLY the (at most two)
         # quadrants the window [pmod, pmod+kept) actually touches, with
@@ -438,7 +458,7 @@ def _merge_kernel(
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def merge_pass_pallas(
-    tokens: jax.Array, first, second, new_token, *, block_rows: int = 128,
+    tokens: jax.Array, first, second, new_token, *, block_rows: int = 256,
     interpret: bool = False,
 ):
     """Fused greedy merge + compaction (drop-in for ops.core.merge_pass).
@@ -446,13 +466,17 @@ def merge_pass_pallas(
     ``tokens``: int32[N] PAD-tailed prefix, N a multiple of block_rows*128.
     Returns (new_tokens, num_hits). Exact reference semantics
     (basic_tokenizer.zig:207-232), including ``aaa -> [X, a]``.
+
+    Larger blocks amortize the per-block fixed cost of the (inherently
+    sequential — one TensorCore) grid; 256 rows is the cap because the
+    packed bit-move encodes the in-block shift in 15 bits (C <= 32768).
     """
     N = tokens.shape[0]
     R = block_rows
     C = R * LANES
-    if R > 128:
-        # packed bit-move encodes the shift in 14 bits: C <= 16384
-        raise ValueError(f"block_rows {R} exceeds 128")
+    if R > 256:
+        # packed bit-move encodes the shift in 15 bits: C <= 32768
+        raise ValueError(f"block_rows {R} exceeds 256")
     if N % C:
         raise ValueError(f"capacity {N} must be a multiple of {C}")
     G = N // C
@@ -481,6 +505,7 @@ def merge_pass_pallas(
         scratch_shapes=[
             pltpu.VMEM((4 * R, LANES), jnp.int32),
             pltpu.VMEM((4 * R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA(()),

@@ -53,3 +53,46 @@ def global_data_mesh():
     from .train_dp import data_mesh
 
     return data_mesh(jax.devices())
+
+
+def train_from_files(
+    paths,
+    vocab_size: int,
+    mesh=None,
+    chunk_rounds: int = 64,
+    verbose: bool = False,
+    shrink: bool = True,
+    checkpoint_dir=None,
+    checkpoint_every_chunks: int = 4,
+    resume: bool = True,
+    stats=None,
+):
+    """Multi-host data-parallel training entry point: every process calls
+    this with the same arguments after :func:`initialize`. Each host reads
+    ONLY its own devices' contiguous byte ranges from the corpus files
+    (train_dp.shard_corpus_from_files); selection psums ride ICI within a
+    host and DCN across hosts; merges are bit-identical to single-host
+    (tests/test_multihost.py runs this 2-process on localhost)."""
+    from . import train_dp as dp
+
+    mesh = mesh or global_data_mesh()
+    start_merges, start_ids, start_occ = (
+        dp._load_resume(checkpoint_dir, vocab_size, vocab_size - 256)
+        if resume else ([], None, None)
+    )
+    if start_ids is not None:
+        tokens = dp.shard_token_ids(start_ids, mesh)
+        total = int(start_ids.size)
+        ub_max_row = None  # resumed streams can populate any row
+    else:
+        tokens, total = dp.shard_corpus_from_files(paths, mesh)
+        ub_max_row = 256  # fresh byte corpus
+    return dp.train_dp_tokens(
+        tokens, total, vocab_size, mesh,
+        ub_max_row=ub_max_row,
+        start_merges=start_merges,
+        start_occ=start_occ if start_occ is not None else (),
+        chunk_rounds=chunk_rounds, verbose=verbose, shrink=shrink,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every_chunks=checkpoint_every_chunks, stats=stats,
+    )

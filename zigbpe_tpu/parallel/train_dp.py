@@ -2,9 +2,9 @@
 
 The reference is single-threaded (SURVEY.md §2.2 — no parallelism exists to
 port); this module is the TPU-native invention: the corpus is sharded
-contiguously across a ``('data',)`` mesh axis, per-shard pair histograms are
-``psum``-reduced over ICI each round, and the merge table stays replicated.
-Results are **bit-identical** to single-chip training for any shard count:
+contiguously across a ``('data',)`` mesh axis, selection state is reduced
+over ICI each round, and the merge table stays replicated. Results are
+**bit-identical** to single-chip training for any shard count:
 
 * Every shard keeps its slice prefix-compacted; the global token sequence is
   the concatenation of shard prefixes.
@@ -12,11 +12,18 @@ Results are **bit-identical** to single-chip training for any shard count:
   valid token of the next non-empty shard), fetched via tiny all_gathers —
   so every global adjacent pair is counted exactly once (SURVEY.md §7 hard
   part 3).
-* **Selection is lazy** (same architecture as ops.core.train_chunk_lazy): a
-  REPLICATED upper-bound table is popped identically on every shard, and
-  each batch of candidate bins is verified with one psum of shard-local
-  exact counts — the only per-round collectives are O(batch + D) scalars,
-  not a V^2 histogram.
+* **Selection is lazy** (same architecture as ops.core.train_chunk_lazy),
+  with two layouts for the upper-bound table:
+  - vocab <= LAZY_VOCAB_MAX: the table is REPLICATED; every shard pops the
+    identical sequence and candidate bins are verified with one psum of
+    shard-local exact counts — per-round collectives are O(batch + D)
+    scalars.
+  - vocab > LAZY_VOCAB_MAX: the dense table no longer fits replicated, so
+    it is SHARDED BY ROWS over the mesh (the scaling-book recipe: shard the
+    big state, exchange small messages). Pops become local-argmax +
+    all_gather of (count, first, second) triples; verification is the same
+    psum of scalars; table maintenance exchanges one V-row (psum) and one
+    V-column (all_gather) per round.
 * **Cross-shard greedy parity**: leftmost-greedy overlap resolution
   (basic_tokenizer.zig:207-232 semantics) runs on *global* pair indices: a
   cummax parity scan locally, with a carry-in equal to the max global index
@@ -26,6 +33,14 @@ Results are **bit-identical** to single-chip training for any shard count:
   right shard's first token (flag exchanged via all_gather).
 * Counting uses integer psum — deterministic, so the argmax + tie-break is
   bit-stable across any device count (SURVEY.md §7 hard part 2).
+* **Compaction** is a per-shard stable sort on a 0/1 dead key — the same
+  formulation the single-chip trainer uses (XLA scatter serializes at
+  ~0.14 Ge/s on text-like indices; sort is ~3x faster).
+* **Shrink schedule**: as shards compact, the per-shard padded capacity is
+  halved between chunks (one recompile per power of two, like train.py).
+* **Checkpoint/resume** shares utils.checkpoint with the single-chip
+  trainer: the state is (merges, occupancy, global compacted stream), so a
+  run checkpointed from either trainer resumes on the other.
 """
 
 from __future__ import annotations
@@ -44,6 +59,13 @@ from ..ops.core import PAD, VOCAB_START
 Merge = Tuple[int, int, int]
 
 AXIS = "data"
+
+# Above this vocab size the replicated dense V^2 ub table gets expensive
+# (V=8192 is 256 MB per device); switch to the row-sharded table.
+LAZY_VOCAB_MAX = 8192
+
+# Per-shard capacity floor for the shrink schedule.
+MIN_SHARD_CAPACITY = 256
 
 
 def data_mesh(devices=None) -> Mesh:
@@ -131,7 +153,88 @@ def _dp_select_lazy(ub, tokens, *, vocab_size: int, batch: int = 8):
     return pid // V, pid % V, c, ub
 
 
-def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int):
+# --------------------------------------------------------------------------
+# Row-sharded upper-bound table (vocab > LAZY_VOCAB_MAX)
+# --------------------------------------------------------------------------
+
+
+def _owned_entry_set(u, row_g, col, val, row0):
+    """u[row_g - row0, col] = val when this shard owns global row row_g."""
+    Rl = u.shape[0]
+    own = (row_g >= row0) & (row_g < row0 + Rl)
+    r = jnp.clip(row_g - row0, 0, Rl - 1)
+    cur = jax.lax.dynamic_slice(u, (r, col), (1, 1))
+    v = jnp.where(own, val, cur[0, 0]).reshape(1, 1).astype(u.dtype)
+    return jax.lax.dynamic_update_slice(u, v, (r, col))
+
+
+def _dp_select_lazy_sharded(u, tokens, *, vocab_size: int, batch: int = 8):
+    """Lazy batch-verified selection with the ub table SHARDED BY ROWS:
+    u is the local (Vp/D, V) row block. Per pop: local argmax, then three
+    scalar pmax collectives pick the global winner lexicographically by
+    (count, first, second) => exact tie-break, and — being reductions over
+    the mesh axis — yield axis-INVARIANT scalars, so the merge table and
+    loop predicates stay replicated under shard_map's varying-axes typing.
+    Verification is a psum of shard-local exact pair counts, written back
+    to the owning shard.
+
+    Pair ids are kept as (first, second) component pairs throughout —
+    a flat a*V+b id would overflow int32 past V=46341 (the u16 vocab cap
+    is 65536, basic_tokenizer.zig:140)."""
+    V = vocab_size
+    Rl = u.shape[0]
+    d = jax.lax.axis_index(AXIS)
+    row0 = d * Rl
+    a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
+
+    rid = jax.lax.broadcasted_iota(jnp.int32, (Rl, V), 0)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (Rl, V), 1)
+
+    def global_argmax(tab):
+        # local lexicographic argmax (rows are disjoint across shards, so
+        # the winning global row identifies a unique shard)
+        c_loc = jnp.max(tab)
+        r_loc = jnp.max(jnp.where(tab == c_loc, rid, -1))
+        c2_loc = jnp.max(jnp.where((tab == c_loc) & (rid == r_loc), cid, -1))
+        mc = jax.lax.pmax(c_loc, AXIS)
+        is_max = c_loc == mc
+        mr = jax.lax.pmax(jnp.where(is_max, row0 + r_loc, -1), AXIS)
+        ml = jax.lax.pmax(
+            jnp.where(is_max & (row0 + r_loc == mr), c2_loc, -1), AXIS
+        )
+        return mc, mr, ml
+
+    def round_(state):
+        u, _, _, _, _ = state
+        masked = u
+        fs, ss = [], []
+        for _ in range(batch):
+            bc, br, bl = global_argmax(masked)
+            fs.append(br)
+            ss.append(bl)
+            masked = _owned_entry_set(masked, br, bl, jnp.int32(-1), row0)
+        fa = jnp.stack(fs)
+        fb = jnp.stack(ss)
+        local = jnp.stack(
+            [jnp.sum((pair_valid & (a == fa[i]) & (b == fb[i])).astype(jnp.int32))
+             for i in range(batch)]
+        )
+        exact = jax.lax.psum(local, AXIS)
+        for i in range(batch):
+            u = _owned_entry_set(u, fa[i], fb[i], exact[i], row0)
+        c2, ra, cb = global_argmax(u)
+        verified = jnp.any((fa == ra) & (fb == cb)) | (c2 <= 0)
+        return u, ra, cb, c2, verified
+
+    state = round_(
+        (u, jnp.int32(-1), jnp.int32(-1), jnp.int32(0), jnp.bool_(False))
+    )
+    u, ra, cb, c2, _ = jax.lax.while_loop(lambda s: ~s[4], round_, state)
+    return ra, cb, jnp.maximum(c2, 0), u
+
+
+def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int,
+              sharded_ub: bool):
     """One merge round on a shard of the corpus (runs inside shard_map)."""
     V = vocab_size
     n = tokens.shape[0]
@@ -140,7 +243,10 @@ def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int):
     idxs = jnp.arange(D, dtype=jnp.int32)
     j = jnp.arange(n, dtype=jnp.int32)
 
-    ta, tb, cnt, ub = _dp_select_lazy(ub, tokens, vocab_size=V)
+    if sharded_ub:
+        ta, tb, cnt, ub = _dp_select_lazy_sharded(ub, tokens, vocab_size=V)
+    else:
+        ta, tb, cnt, ub = _dp_select_lazy(ub, tokens, vocab_size=V)
     new_id = VOCAB_START + k
 
     a, b, pair_valid, L, G = _shard_pair_streams(tokens)
@@ -169,25 +275,60 @@ def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int):
     written = jnp.where(hit, new_id, tokens)
     killed = jnp.roll(hit, 1).at[0].set(False) | ((j == 0) & killed_first)
     keep = valid_tok & ~killed
-    pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, n)
-    tokens = jnp.full((n,), PAD, jnp.int32).at[pos].set(written, mode="drop")
+    # stable-sort compaction on a 0/1 dead key (same formulation as
+    # ops.core.apply_hits; ~3x faster than scatter on this backend)
+    key = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+    _, tokens = jax.lax.sort(
+        (key, jnp.where(keep, written, PAD)), num_keys=1, is_stable=True
+    )
 
     merges = merges.at[k].set(jnp.stack([ta, tb, new_id]))
     occ = occ.at[k].set(cnt)
 
-    # ---- replicated ub maintenance (same derivation as train_chunk_lazy:
-    # new (X, v) pairs sit where old (b, v) pairs were, (v, X) where (v, a),
-    # (X, X) where (b, a); all capped by the global hit count) ----
+    # ---- ub maintenance (same derivation as train_chunk_lazy: new (X, v)
+    # pairs sit where old (b, v) pairs were, (v, X) where (v, a), (X, X)
+    # where (b, a); all capped by the global hit count) ----
     nhits = jax.lax.psum(jnp.sum(hit.astype(jnp.int32)), AXIS)
-    u2 = ub.reshape(V, V)
-    row_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (tb, 0), (1, V)), nhits)
-    col_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (0, ta), (V, 1)), nhits)
-    xx_bound = jnp.minimum(u2[tb, ta], nhits)
-    u2 = u2.at[ta, tb].set(0)
-    u2 = jax.lax.dynamic_update_slice(u2, row_bound, (new_id, 0))
-    u2 = jax.lax.dynamic_update_slice(u2, col_bound, (0, new_id))
-    u2 = u2.at[new_id, new_id].set(xx_bound)
-    ub = u2.reshape(V * V)
+    if sharded_ub:
+        Rl = ub.shape[0]
+        row0 = d * Rl
+        # row tb of the global table: owner contributes, psum broadcasts
+        own_tb = (tb >= row0) & (tb < row0 + Rl)
+        r_tb = jnp.clip(tb - row0, 0, Rl - 1)
+        row_tb = jax.lax.psum(
+            jnp.where(own_tb, jax.lax.dynamic_slice(ub, (r_tb, 0), (1, V))[0], 0),
+            AXIS,
+        )  # (V,)
+        # column ta: local slice, all_gather concatenates the row blocks
+        col_loc = jax.lax.dynamic_slice(ub, (0, ta), (Rl, 1))[:, 0]
+        col_ta = jax.lax.all_gather(col_loc, AXIS).reshape(-1)  # (Vp,)
+        row_bound = jnp.minimum(row_tb, nhits)
+        col_bound = jnp.minimum(col_ta, nhits)
+        xx_bound = jnp.minimum(row_tb[ta], nhits)
+        # zero the consumed (ta, tb) bin
+        ub = _owned_entry_set(ub, ta, tb, jnp.int32(0), row0)
+        # write row new_id (owner only)
+        own_new = (new_id >= row0) & (new_id < row0 + Rl)
+        r_new = jnp.clip(new_id - row0, 0, Rl - 1)
+        cur_row = jax.lax.dynamic_slice(ub, (r_new, 0), (1, V))
+        ub = jax.lax.dynamic_update_slice(
+            ub, jnp.where(own_new, row_bound[None, :], cur_row), (r_new, 0)
+        )
+        # write column new_id (every shard writes its row block's slice)
+        my_col = jax.lax.dynamic_slice(col_bound, (row0,), (Rl,))
+        ub = jax.lax.dynamic_update_slice(ub, my_col[:, None], (0, new_id))
+        # (X, X) sits where an old (b, a) pair was
+        ub = _owned_entry_set(ub, new_id, new_id, xx_bound, row0)
+    else:
+        u2 = ub.reshape(V, V)
+        row_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (tb, 0), (1, V)), nhits)
+        col_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (0, ta), (V, 1)), nhits)
+        xx_bound = jnp.minimum(u2[tb, ta], nhits)
+        u2 = u2.at[ta, tb].set(0)
+        u2 = jax.lax.dynamic_update_slice(u2, row_bound, (new_id, 0))
+        u2 = jax.lax.dynamic_update_slice(u2, col_bound, (0, new_id))
+        u2 = u2.at[new_id, new_id].set(xx_bound)
+        ub = u2.reshape(V * V)
 
     # psum (not a host-side sum of the gathered lengths) so the total carries
     # the replicated type through the while_loop
@@ -195,8 +336,11 @@ def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int):
     return tokens, ub, merges, occ, k + 1, total_len
 
 
-def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int):
-    """Up to max_rounds rounds inside one shard_map body (while_loop)."""
+def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int,
+              sharded_ub: bool):
+    """Up to max_rounds rounds inside one shard_map body (while_loop).
+    Returns the chunk state plus (total_len, max_shard_len) for the host's
+    early-stop and shrink decisions."""
     M = merges.shape[0]
     target = jnp.minimum(k + max_rounds, M)
     total0 = jax.lax.psum(jnp.sum((tokens >= 0).astype(jnp.int32)), AXIS)
@@ -208,27 +352,35 @@ def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int):
     def body(state):
         toks, u, mg, oc, kk, _ = state
         toks, u, mg, oc, kk, total = _dp_round(
-            toks, u, mg, oc, kk, vocab_size=vocab_size
+            toks, u, mg, oc, kk, vocab_size=vocab_size, sharded_ub=sharded_ub
         )
         return toks, u, mg, oc, kk, total
 
     toks, u, mg, oc, kk, total = jax.lax.while_loop(
         cond, body, (tokens, ub, merges, occ, k, total0)
     )
-    return toks, u, mg, oc, kk, total
+    maxlen = jax.lax.pmax(jnp.sum((toks >= 0).astype(jnp.int32)), AXIS)
+    return toks, u, mg, oc, kk, total, maxlen
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vocab_size", "max_rounds", "mesh"),
+    static_argnames=("vocab_size", "max_rounds", "mesh", "sharded_ub"),
     donate_argnums=(0, 1, 2, 3),
 )
-def _dp_chunk_jit(tokens, ub, merges, occ, k, *, vocab_size, max_rounds, mesh):
+def _dp_chunk_jit(tokens, ub, merges, occ, k, *, vocab_size, max_rounds, mesh,
+                  sharded_ub):
     fn = jax.shard_map(
-        functools.partial(_dp_chunk, vocab_size=vocab_size, max_rounds=max_rounds),
+        functools.partial(
+            _dp_chunk, vocab_size=vocab_size, max_rounds=max_rounds,
+            sharded_ub=sharded_ub,
+        ),
         mesh=mesh,
-        in_specs=(P(AXIS), P(), P(), P(), P()),
-        out_specs=(P(AXIS), P(), P(), P(), P(), P()),
+        in_specs=(P(AXIS), P(AXIS, None) if sharded_ub else P(), P(), P(), P()),
+        out_specs=(
+            P(AXIS), P(AXIS, None) if sharded_ub else P(),
+            P(), P(), P(), P(), P(),
+        ),
     )
     return fn(tokens, ub, merges, occ, k)
 
@@ -244,63 +396,304 @@ def _init_ub_jit(tokens, *, vocab_size, mesh):
     return fn(tokens)
 
 
-def shard_corpus(data: bytes, mesh: Mesh, per_shard_capacity: Optional[int] = None):
-    """Place contiguous corpus slices into per-shard PAD-tailed prefixes.
+def init_ub_sharded_dp(tokens, *, vocab_size: int, rows_per_shard: int,
+                       max_row: int):
+    """Row-sharded ub init computed on device: for each row block q, every
+    shard histograms its local pairs restricted to first-token rows
+    [q*Rl, (q+1)*Rl) and the psum lands on shard q. Row blocks at or above
+    ``max_row`` are skipped entirely — a fresh byte corpus only populates
+    rows < 256, so its init is a single psum. Runs inside shard_map."""
+    V = vocab_size
+    Rl = rows_per_shard
+    D = jax.lax.axis_size(AXIS)
+    d = jax.lax.axis_index(AXIS)
+    a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
+    out = jnp.zeros((Rl, V), jnp.int32)
+    for q in range(D):
+        r0 = q * Rl
+        if r0 >= max_row:
+            continue
+        sel = pair_valid & (a >= r0) & (a < r0 + Rl)
+        pid = jnp.where(sel, (a - r0) * V + b, Rl * V)
+        hist = jnp.zeros((Rl * V,), jnp.int32).at[pid].add(1, mode="drop")
+        hist = jax.lax.psum(hist, AXIS)
+        out = jnp.where(d == q, hist.reshape(Rl, V), out)
+    return out
 
-    Returns a [D * per_shard_capacity] int32 array sharded over the mesh.
-    """
-    D = mesh.devices.size
-    n = len(data)
-    per = (n + D - 1) // D
+
+@functools.partial(
+    jax.jit, static_argnames=("vocab_size", "rows_per_shard", "max_row", "mesh")
+)
+def _init_ub_sharded_jit(tokens, *, vocab_size, rows_per_shard, max_row, mesh):
+    fn = jax.shard_map(
+        functools.partial(
+            init_ub_sharded_dp, vocab_size=vocab_size,
+            rows_per_shard=rows_per_shard, max_row=max_row,
+        ),
+        mesh=mesh,
+        in_specs=(P(AXIS),),
+        out_specs=P(AXIS, None),
+    )
+    return fn(tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap", "mesh"), donate_argnums=(0,))
+def _shrink_jit(tokens, *, new_cap, mesh):
+    """Halve every shard's padded capacity (shards are prefix-compacted, so
+    dropping the PAD tail is a static per-shard slice)."""
+    fn = jax.shard_map(
+        lambda t: t[:new_cap], mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS)
+    )
+    return fn(tokens)
+
+
+def _shard_capacity(per: int, per_shard_capacity: Optional[int]) -> int:
     if per_shard_capacity is None:
-        per_shard_capacity = max(256, 1 << (per - 1).bit_length())
+        return max(MIN_SHARD_CAPACITY, 1 << (max(per, 1) - 1).bit_length())
     if per > per_shard_capacity:
         raise ValueError(f"shard slice {per} exceeds capacity {per_shard_capacity}")
-    buf = np.full((D, per_shard_capacity), PAD, dtype=np.int32)
-    arr = np.frombuffer(data, dtype=np.uint8)
-    for d in range(D):
-        piece = arr[d * per : (d + 1) * per]
-        buf[d, : len(piece)] = piece
-    flat = buf.reshape(-1)
-    return jax.device_put(flat, NamedSharding(mesh, P(AXIS)))
+    return per_shard_capacity
 
 
-def train_dp(
-    data: bytes,
-    vocab_size: int,
-    mesh: Optional[Mesh] = None,
-    chunk_rounds: int = 64,
-    verbose: bool = False,
-) -> List[Merge]:
-    """Data-parallel training; merge-order identical to single-chip/oracle."""
+def _shard_int32(values: np.ndarray, mesh: Mesh,
+                 per_shard_capacity: Optional[int] = None):
+    """Place contiguous slices of an int32 stream into per-shard PAD-tailed
+    prefixes; returns a [D * per_shard_capacity] array sharded over the mesh.
+
+    Placement is callback-based (jax.make_array_from_callback), so under a
+    multi-process runtime each host materializes only its own shards."""
+    D = mesh.devices.size
+    n = values.size
+    per = (n + D - 1) // D
+    cap = _shard_capacity(per, per_shard_capacity)
+
+    def cb(index):
+        d = (index[0].start or 0) // cap
+        buf = np.full((cap,), PAD, dtype=np.int32)
+        piece = values[d * per : (d + 1) * per]
+        buf[: len(piece)] = piece
+        return buf
+
+    return jax.make_array_from_callback(
+        (D * cap,), NamedSharding(mesh, P(AXIS)), cb
+    )
+
+
+def shard_corpus(data: bytes, mesh: Mesh, per_shard_capacity: Optional[int] = None):
+    """Place contiguous corpus byte slices into per-shard PAD-tailed prefixes
+    (byte-level init, basic_tokenizer.zig:155-170)."""
+    return _shard_int32(
+        np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int32),
+        mesh, per_shard_capacity,
+    )
+
+
+def shard_token_ids(ids: np.ndarray, mesh: Mesh,
+                    per_shard_capacity: Optional[int] = None):
+    """Re-shard a resumed token-id stream (checkpoint path). Shard
+    boundaries may differ from the checkpointing run; training is
+    boundary-invariant (test_dp_device_count_invariance)."""
+    return _shard_int32(np.asarray(ids, dtype=np.int32), mesh, per_shard_capacity)
+
+
+def shard_corpus_from_files(paths, mesh: Mesh,
+                            per_shard_capacity: Optional[int] = None):
+    """Shard a corpus spread over one or more files WITHOUT materializing it:
+    each device's contiguous byte range is read straight from disk in the
+    placement callback. Under a multi-process runtime each host therefore
+    reads only its own devices' ranges (multi-host data loading,
+    SURVEY.md §7 stage 4). Returns (tokens, total_bytes)."""
+    import os
+
+    from ..utils import fileio
+
+    D = mesh.devices.size
+    total = sum(os.path.getsize(p) for p in paths)
+    per = (total + D - 1) // D
+    cap = _shard_capacity(per, per_shard_capacity)
+
+    def cb(index):
+        d = (index[0].start or 0) // cap
+        piece = fileio.read_range(paths, d * per, min((d + 1) * per, total))
+        buf = np.full((cap,), PAD, dtype=np.int32)
+        buf[: len(piece)] = np.frombuffer(piece, dtype=np.uint8)
+        return buf
+
+    tokens = jax.make_array_from_callback(
+        (D * cap,), NamedSharding(mesh, P(AXIS)), cb
+    )
+    return tokens, total
+
+
+# --------------------------------------------------------------------------
+# Upper-bound table construction (host side)
+# --------------------------------------------------------------------------
+
+
+def _host_pair_entries(ids: np.ndarray):
+    """Sparse exact pair counts of a host-resident token stream:
+    (rows, cols, counts) int64/int64/int32 (overlaps included, reference
+    semantics basic_tokenizer.zig:234-278)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if ids.size < 2:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int32))
+    pid = ids[:-1] * 65536 + ids[1:]
+    uniq, counts = np.unique(pid, return_counts=True)
+    return uniq >> 16, uniq & 0xFFFF, counts.astype(np.int32)
+
+
+def _byte_pair_entries(data: bytes):
+    """Sparse byte-pair counts of a corpus (native C++ histogram when built,
+    NumPy otherwise) — only bins < 256 are ever populated."""
+    from ..native import fastio
+
+    block = fastio.byte_pair_hist(data)
+    if block is None:
+        return _host_pair_entries(np.frombuffer(bytes(data), dtype=np.uint8))
+    rows, cols = np.nonzero(block)
+    return rows.astype(np.int64), cols.astype(np.int64), block[rows, cols].astype(np.int32)
+
+
+def _replicate(arr: np.ndarray, mesh: Mesh):
+    """Place a host array replicated over the mesh (multi-process safe:
+    every host materializes the same value via the placement callback)."""
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, P()), lambda index: arr[index]
+    )
+
+
+def _replicated_ub_from_entries(rows, cols, counts, *, vocab_size, mesh):
+    V = vocab_size
+    tab = np.zeros((V, V), np.int32)
+    tab[rows, cols] = counts
+    return _replicate(tab.reshape(V * V), mesh)
+
+
+def _sharded_ub_from_entries(rows, cols, counts, *, vocab_size, mesh):
+    """Dense (Vp, V) table sharded by rows; Vp rounds V up to a multiple of
+    the shard count (padded rows stay zero and are never addressed)."""
+    V = vocab_size
+    D = mesh.devices.size
+    Vp = -(-V // D) * D
+    sharding = NamedSharding(mesh, P(AXIS, None))
+
+    def cb(index):
+        r0 = index[0].start or 0
+        r1 = index[0].stop if index[0].stop is not None else Vp
+        local = np.zeros((r1 - r0, V), np.int32)
+        m = (rows >= r0) & (rows < r1)
+        local[rows[m] - r0, cols[m]] = counts[m]
+        return local
+
+    return jax.make_array_from_callback((Vp, V), sharding, cb)
+
+
+def _gather_valid_stream(tokens, D: int) -> np.ndarray:
+    """Global compacted token stream = concatenation of shard valid
+    prefixes (checkpoint save path)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        arr = np.asarray(multihost_utils.process_allgather(tokens, tiled=True))
+    else:
+        arr = np.asarray(tokens)
+    per = arr.size // D
+    parts = [row[: int((row >= 0).sum())] for row in arr.reshape(D, per)]
+    return np.concatenate(parts) if parts else np.zeros(0, np.int32)
+
+
+def _validate_vocab(vocab_size: int) -> int:
     if vocab_size < VOCAB_START:
         raise ValueError(f"vocab_size must be >= 256, got {vocab_size}")
-    if vocab_size > 8192:
-        # the replicated dense ub table is V^2 int32 per device; past 8192
-        # use the single-chip sorted path or raise the corpus per shard
+    if vocab_size > 0x10000:
+        raise ValueError(f"vocab_size must fit u16, got {vocab_size}")
+    return vocab_size - VOCAB_START
+
+
+def _load_resume(checkpoint_dir, vocab_size: int, M: int):
+    """(start_merges, start_ids, start_occ) from a checkpoint, if any."""
+    from ..utils import checkpoint as ckpt
+
+    if not (checkpoint_dir and ckpt.exists(checkpoint_dir)):
+        return [], None, None
+    start_merges, start_ids, ck_vocab, start_occ = ckpt.load(checkpoint_dir)
+    if ck_vocab != vocab_size:
         raise ValueError(
-            f"train_dp supports vocab_size <= 8192 (dense replicated ub); got {vocab_size}"
+            f"checkpoint vocab_size {ck_vocab} != requested {vocab_size}"
         )
-    M = vocab_size - VOCAB_START
-    if M == 0 or len(data) < 2:
-        return []
-    mesh = mesh or data_mesh()
+    if len(start_merges) > M:
+        raise ValueError("checkpoint has more merges than target vocab")
+    return start_merges, start_ids, start_occ
 
-    tokens = shard_corpus(data, mesh)
-    rep = NamedSharding(mesh, P())
-    ub = _init_ub_jit(tokens, vocab_size=vocab_size, mesh=mesh)
-    merges = jax.device_put(jnp.full((M, 3), PAD, jnp.int32), rep)
-    occ = jax.device_put(jnp.zeros((M,), jnp.int32), rep)
-    k = jax.device_put(jnp.int32(0), rep)
 
-    k_host, total_host = 0, len(data)
+def train_dp_tokens(
+    tokens,
+    total_tokens: int,
+    vocab_size: int,
+    mesh: Mesh,
+    *,
+    ub=None,
+    ub_max_row: Optional[int] = None,
+    start_merges: List[Merge] = (),
+    start_occ=(),
+    chunk_rounds: int = 64,
+    verbose: bool = False,
+    shrink: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every_chunks: int = 4,
+    stats=None,
+) -> List[Merge]:
+    """Run the data-parallel chunk loop on an already-sharded corpus.
+
+    ``ub`` defaults to a device-computed init (psum histogram for the
+    replicated table; per-row-block psum for the sharded table —
+    ``ub_max_row`` bounds the populated first-token rows, 256 for a fresh
+    byte corpus). This is the compute path shared by :func:`train_dp` and
+    the multi-host entry point (parallel.multihost.train_from_files)."""
+    from ..utils.profiling import TimeStats
+
+    stats = stats or TimeStats.null()
+    M = _validate_vocab(vocab_size)
+    D = mesh.devices.size
+    sharded_ub = vocab_size > LAZY_VOCAB_MAX
+    per_shard_cap = tokens.shape[0] // D
+
+    if ub is None:
+        with stats.phase("count_pairs"):
+            if sharded_ub:
+                Vp = -(-vocab_size // D) * D
+                ub = _init_ub_sharded_jit(
+                    tokens, vocab_size=vocab_size, rows_per_shard=Vp // D,
+                    max_row=min(ub_max_row or vocab_size, vocab_size), mesh=mesh,
+                )
+            else:
+                ub = _init_ub_jit(tokens, vocab_size=vocab_size, mesh=mesh)
+
+    mg0 = np.full((M, 3), PAD, np.int32)
+    oc0 = np.zeros((M,), np.int32)
+    if start_merges:
+        mg0[: len(start_merges)] = np.asarray(start_merges, np.int32).reshape(-1, 3)
+        oc0[: len(start_merges)] = np.asarray(
+            start_occ[: len(start_merges)], np.int32
+        )
+    merges = _replicate(mg0, mesh)
+    occ = _replicate(oc0, mesh)
+    k = _replicate(np.asarray(len(start_merges), np.int32), mesh)
+
+    k_host = len(start_merges)
+    total_host = total_tokens
+    chunks_done = 0
     while k_host < M and total_host >= 2:
         rounds = min(chunk_rounds, M - k_host)
-        tokens, ub, merges, occ, k, total = _dp_chunk_jit(
-            tokens, ub, merges, occ, k, vocab_size=vocab_size, max_rounds=rounds, mesh=mesh
-        )
-        kt = np.asarray(jnp.stack([k, total]))  # one host round-trip
-        prev_k, k_host, total_host = k_host, int(kt[0]), int(kt[1])
+        with stats.phase("merge_rounds"):
+            tokens, ub, merges, occ, k, total, maxlen = _dp_chunk_jit(
+                tokens, ub, merges, occ, k,
+                vocab_size=vocab_size, max_rounds=rounds, mesh=mesh,
+                sharded_ub=sharded_ub,
+            )
+            ktm = np.asarray(jnp.stack([k, total, maxlen]))  # one host round-trip
+            prev_k, k_host, total_host = k_host, int(ktm[0]), int(ktm[1])
+            maxlen_host = int(ktm[2])
         if verbose:
             mg = np.asarray(merges[prev_k:k_host])
             oc = np.asarray(occ[prev_k:k_host])
@@ -310,8 +703,103 @@ def train_dp(
                     f"{mg[i, 2]} had {oc[i]} occurrences"
                 )
 
+        while (
+            shrink
+            and per_shard_cap > MIN_SHARD_CAPACITY
+            and maxlen_host <= per_shard_cap // 2
+        ):
+            per_shard_cap //= 2
+            tokens = _shrink_jit(tokens, new_cap=per_shard_cap, mesh=mesh)
+
+        chunks_done += 1
+        if checkpoint_dir and (chunks_done % checkpoint_every_chunks == 0):
+            from ..utils import checkpoint as ckpt
+
+            stream = _gather_valid_stream(tokens, D)
+            if jax.process_index() == 0:
+                ckpt.save(
+                    checkpoint_dir,
+                    [tuple(int(v) for v in row) for row in np.asarray(merges[:k_host])],
+                    stream,
+                    vocab_size,
+                    np.asarray(occ[:k_host]),
+                )
+
     if k_host < M and total_host < 2:
         print("No more pairs to merge. Stopping early.")
 
     out = np.asarray(merges[:k_host])
     return [tuple(int(v) for v in row) for row in out]
+
+
+def train_dp(
+    data: bytes,
+    vocab_size: int,
+    mesh: Optional[Mesh] = None,
+    chunk_rounds: int = 64,
+    verbose: bool = False,
+    shrink: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every_chunks: int = 4,
+    resume: bool = True,
+    stats=None,
+) -> List[Merge]:
+    """Data-parallel training; merge-order identical to single-chip/oracle.
+
+    vocab_size <= LAZY_VOCAB_MAX uses the replicated ub table; larger
+    vocabs (up to the u16 cap 65536, basic_tokenizer.zig:140) use the
+    row-sharded table. With ``checkpoint_dir`` set, a resumable checkpoint
+    is written every ``checkpoint_every_chunks`` chunks; checkpoints are
+    interchangeable with the single-chip trainer (utils.checkpoint).
+    """
+    from ..utils.profiling import TimeStats
+
+    stats = stats or TimeStats.null()
+    M = _validate_vocab(vocab_size)
+    if M == 0 or len(data) < 2:
+        return []
+    mesh = mesh or data_mesh()
+    sharded_ub = vocab_size > LAZY_VOCAB_MAX
+
+    start_merges, start_ids, start_occ = (
+        _load_resume(checkpoint_dir, vocab_size, M) if resume else ([], None, None)
+    )
+
+    with stats.phase("initial_tokens"):
+        if start_ids is not None:
+            tokens = shard_token_ids(start_ids, mesh)
+            total = int(start_ids.size)
+        else:
+            tokens = shard_corpus(data, mesh)
+            total = len(data)
+
+    # Host-computed ub init (exact; native C++ for the byte histogram) —
+    # only valid single-process, where this host sees the whole stream.
+    ub = None
+    ub_max_row = None
+    if jax.process_count() == 1:
+        with stats.phase("count_pairs"):
+            if start_ids is not None:
+                rows, cols, counts = _host_pair_entries(start_ids)
+            else:
+                rows, cols, counts = _byte_pair_entries(data)
+            if sharded_ub:
+                ub = _sharded_ub_from_entries(
+                    rows, cols, counts, vocab_size=vocab_size, mesh=mesh
+                )
+            else:
+                ub = _replicated_ub_from_entries(
+                    rows, cols, counts, vocab_size=vocab_size, mesh=mesh
+                )
+    elif start_ids is None:
+        ub_max_row = 256  # fresh byte corpus: only byte rows are populated
+
+    return train_dp_tokens(
+        tokens, total, vocab_size, mesh,
+        ub=ub, ub_max_row=ub_max_row,
+        start_merges=start_merges,
+        start_occ=start_occ if start_occ is not None else (),
+        chunk_rounds=chunk_rounds, verbose=verbose, shrink=shrink,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every_chunks=checkpoint_every_chunks, stats=stats,
+    )

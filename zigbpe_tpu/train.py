@@ -26,7 +26,7 @@ Merge = Tuple[int, int, int]
 # Shrink floor = the Pallas merge-kernel block (ops.pallas.BLOCK): staying
 # block-aligned keeps every shrink step on the kernel path instead of
 # cascading through per-capacity XLA recompiles for tiny tails.
-MIN_CAPACITY = 16384
+MIN_CAPACITY = 32768
 
 
 def _round_capacity(n: int) -> int:

@@ -53,6 +53,23 @@ def host_slice(total_size: int, host_id: int, host_count: int) -> Tuple[int, int
     return start, min(start + per, total_size)
 
 
+def read_range(paths: Sequence[str | os.PathLike], start: int, end: int) -> bytes:
+    """Read the byte range [start, end) of the logical concatenation of
+    ``paths`` — the loading primitive behind per-device corpus sharding
+    (each device's slice is read directly from disk, nothing else)."""
+    out: List[bytes] = []
+    offset = 0
+    for p in paths:
+        size = os.path.getsize(p)
+        lo, hi = max(start - offset, 0), min(end - offset, size)
+        if lo < hi:
+            with open(p, "rb") as f:
+                f.seek(lo)
+                out.append(f.read(hi - lo))
+        offset += size
+    return b"".join(out)
+
+
 def read_corpus(paths: Sequence[str | os.PathLike],
                 host_id: int = 0, host_count: int = 1) -> bytes:
     """Read (this host's slice of) a corpus made of one or more files,
