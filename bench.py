@@ -123,6 +123,29 @@ def main() -> None:
     median_mbps = statistics.median(runs_mbps)
     best_mbps = max(runs_mbps)
 
+    # Serving path (BASELINE.json config 3): a frozen 1K-merge table
+    # replayed over the device-resident corpus as 32K-token rows by the
+    # batched Pallas kernel (ops/pallas/encode.py). The table is trained
+    # natively on a 1 MB slice — the table's provenance doesn't affect
+    # replay throughput.
+    from zigbpe_tpu.ops.pallas import encode as pe
+
+    enc_table = fastio.train(data[: 1 << 20], 256 + 1024)
+    mtab = jnp.asarray(np.asarray(enc_table, np.int32).reshape(-1, 3))
+    L = 32768
+    B = tokens.shape[0] // L
+    rows_dev = tokens[: B * L].reshape(B, L)
+    enc_fn = jax.jit(pe.encode_rows_pallas)
+    _, lens = enc_fn(rows_dev, mtab)
+    sync(lens)  # compile + warm
+    enc_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, lens = enc_fn(rows_dev, mtab)
+        sync(lens)
+        enc_runs.append(B * L / (time.perf_counter() - t0) / 1e6)
+    encode_mbps = max(enc_runs)
+
     # Native single-core C++ baseline (reference-class; fastio.cpp zbpe_train)
     base_slice = data[:BASELINE_SLICE]
     base_wall = float("inf")
@@ -148,6 +171,8 @@ def main() -> None:
                 "end_to_end_mbps": round(end_to_end_mbps, 3),
                 "warmup_s": round(warm_s, 3),
                 "native_baseline_mbps": round(native_mbps, 3),
+                "encode_mbps_1kmerge_batched": round(encode_mbps, 3),
+                "encode_runs_mbps": [round(r, 3) for r in enc_runs],
             }
         )
     )

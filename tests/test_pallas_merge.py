@@ -1,9 +1,12 @@
-"""Pallas fused merge+compaction kernel vs the XLA reference formulation.
+"""Pallas fused merge + block-local compaction kernel vs the XLA reference
+formulation.
 
-Runs in interpret mode on the CPU test mesh (compiled-mode equivalence is
-exercised on TPU by the training/encode conformance paths, which route
-through the kernel whenever a real TPU backend is present).
-"""
+The kernel's output layout is BLOCK-LOCAL prefixes (ops/pallas/merge.py
+layout contract), so equivalence is on the LOGICAL stream (valid tokens in
+order); each test additionally asserts the layout invariant (every block is
+a valid prefix). Runs in interpret mode on the CPU test mesh (compiled-mode
+equivalence is exercised on TPU by tests_tpu/ and the training/encode
+conformance paths)."""
 
 import numpy as np
 import pytest
@@ -14,14 +17,31 @@ from zigbpe_tpu.ops.pallas import merge as pm
 rng = np.random.default_rng(0)
 
 
+def logical(arr: np.ndarray, block: int):
+    """Valid tokens in logical order + assert the block-prefix invariant."""
+    arr = np.asarray(arr)
+    blocks = arr.reshape(-1, block)
+    for g, row in enumerate(blocks):
+        n = int((row >= 0).sum())
+        assert (row[:n] >= 0).all() and (row[n:] < 0).all(), (
+            f"block {g} is not a valid prefix"
+        )
+    return arr[arr >= 0].tolist()
+
+
 def _check(data: bytes, a: int, b: int, cap: int, block_rows: int = 8):
     arr, _ = core.pad_tokens(data, cap)
     want, n_want = core.merge_pass(arr, a, b, 256)
-    got, n_got = pm.merge_pass_pallas(
+    want = np.asarray(want)
+    got, stats = pm.merge_pass_pallas(
         arr, a, b, 256, block_rows=block_rows, interpret=True
     )
-    assert np.asarray(want).tolist() == np.asarray(got).tolist()
-    assert int(n_want) == int(n_got)
+    want_logical = want[want >= 0].tolist()
+    got_logical = logical(got, block_rows * 128)
+    assert want_logical == got_logical
+    nhits = len(data) - len(want_logical)
+    assert int(stats[0]) == nhits
+    assert int(stats[1]) == len(want_logical)
 
 
 @pytest.mark.parametrize(
@@ -47,8 +67,8 @@ def test_random_single_block(pair):
 
 @pytest.mark.parametrize("pair", [(97, 98), (97, 97)])
 def test_random_multi_block(pair):
-    # 4 grid blocks at block_rows=8: exercises cross-block carries,
-    # ring-staging flushes, and the PAD-fill tail
+    # 4 grid blocks at block_rows=8: exercises cross-block carries and the
+    # per-block compaction
     data = bytes(rng.integers(97, 100, 4000, dtype=np.uint8))
     _check(data, pair[0], pair[1], 4096)
 
@@ -66,7 +86,36 @@ def test_pair_exactly_at_block_edge():
     _check(bytes(data), 97, 98, 4096)
 
 
-def test_heavy_compaction_across_flushes():
-    # every other pair merges: kept count per block ~half, so staging
-    # offsets stay misaligned and every ring path is exercised
+def test_heavy_compaction():
+    # every other pair merges: every block compacts to ~half population
     _check(b"ab" * 2000, 97, 98, 4096)
+
+
+def test_block_local_layout_roundtrip():
+    # a second pass on the block-local output of a first pass (the layout
+    # the training loop actually feeds the kernel)
+    data = b"abcabc" * 600
+    arr, _ = core.pad_tokens(data, 4096)
+    mid, _ = pm.merge_pass_pallas(arr, 97, 98, 256, block_rows=8, interpret=True)
+    got, stats = pm.merge_pass_pallas(mid, 256, 99, 257, block_rows=8, interpret=True)
+    import zigbpe_tpu.models.oracle as oracle
+
+    want = oracle.merge_pass(oracle.merge_pass(list(data), 97, 98, 256), 256, 99, 257)
+    assert logical(got, 8 * 128) == want
+    assert int(stats[1]) == len(want)
+
+
+def test_min_kept_stat():
+    # a block that drains toward empty must be reported for recompaction
+    # (block 0 = 1024 a's collapses by repeated doubling merges)
+    data = b"a" * 1024 + b"bcd" * 400
+    out, _ = core.pad_tokens(data, 4096)
+    tok = 97
+    for r in range(10):  # 1024 -> 512 -> ... -> 1 tokens in block 0
+        new = 256 + r
+        out, stats = pm.merge_pass_pallas(out, tok, tok, new, block_rows=8,
+                                          interpret=True)
+        tok = new
+    blocks = np.asarray(out).reshape(-1, 8 * 128)
+    assert int((blocks[0] >= 0).sum()) == 1
+    assert int(stats[2]) <= 1  # the trainer would recompact now

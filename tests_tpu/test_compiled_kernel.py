@@ -22,20 +22,25 @@ def _merge_pass_ref(tokens, first, second, new_token):
     return out
 
 
-def _run_kernel(tokens_list, first, second, new_token, capacity=16384):
+def _run_kernel(tokens_list, first, second, new_token, capacity=32768):
     import jax.numpy as jnp
 
+    from zigbpe_tpu.ops.pallas import BLOCK
     from zigbpe_tpu.ops.pallas import merge as pm
 
     buf = np.full((capacity,), -1, np.int32)
     buf[: len(tokens_list)] = tokens_list
-    out, nhits = pm.merge_pass_pallas(
+    out, stats = pm.merge_pass_pallas(
         jnp.asarray(buf), first, second, new_token
     )
     out = np.asarray(out)
-    n_valid = int((out >= 0).sum())
-    assert (out[:n_valid] >= 0).all(), "output is not a PAD-tailed prefix"
-    return out[:n_valid].tolist(), int(nhits)
+    # layout contract: every kernel block is a valid prefix
+    for g, row in enumerate(out.reshape(-1, BLOCK)):
+        n = int((row >= 0).sum())
+        assert (row[:n] >= 0).all() and (row[n:] < 0).all(), (
+            f"block {g} is not a valid prefix"
+        )
+    return out[out >= 0].tolist(), int(stats[0])
 
 
 @pytest.mark.parametrize(
@@ -69,8 +74,8 @@ def test_compiled_merge_pass_fuzz():
 
 
 def test_compiled_boundary_spanning_runs():
-    # candidate runs spanning kernel block boundaries (block = 16384 elems)
-    C = 128 * 128
+    # candidate runs spanning kernel block boundaries (block = 32768 elems)
+    C = 256 * 128
     toks = [5] * (C - 3) + [7] * 10 + [5] * 100
     got, _ = _run_kernel(toks, 7, 7, 300, capacity=4 * C)
     assert got == _merge_pass_ref(toks, 7, 7, 300)

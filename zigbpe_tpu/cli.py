@@ -71,6 +71,8 @@ def cmd_train(args) -> int:
             kwargs["chunk_rounds"] = args.chunk_rounds
             if args.checkpoint_dir:
                 kwargs["checkpoint_dir"] = args.checkpoint_dir
+            if args.time_stats_detailed:
+                kwargs["detailed_stats"] = True
         tok.train(data, args.vocab, verbose=args.verbose, backend=backend, **kwargs)
     wall = time.time() - t0
     tok.save_merges(args.out)
@@ -79,7 +81,7 @@ def cmd_train(args) -> int:
         f"({len(data) / max(wall, 1e-9) / 1e6:.1f} MB/s) -> {args.out}",
         file=sys.stderr,
     )
-    if args.time_stats:
+    if args.time_stats or args.time_stats_detailed:
         tok.time_stats.print_report()
     return 0
 
@@ -135,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--verbose", action="store_true")
     t.add_argument("--chunk-rounds", type=int, default=64)
     t.add_argument("--time-stats", action="store_true")
+    t.add_argument(
+        "--time-stats-detailed", action="store_true",
+        help="per-round sort/replace device-time split (reference "
+        "TimeStats taxonomy; slower: syncs every round)",
+    )
     t.add_argument("--checkpoint-dir", help="write/resume mid-training checkpoints here")
     # multi-host runtime (jax.distributed); also settable via
     # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID

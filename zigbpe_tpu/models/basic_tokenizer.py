@@ -56,8 +56,13 @@ def _encode_jit(use_pallas: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def _encode_batch_jit():
+def _encode_batch_jit(use_pallas: bool = False):
     import jax
+
+    if use_pallas:
+        from ..ops.pallas import encode as pe
+
+        return pe.encode_rows_pallas
 
     from ..ops import encode_batch as eb
 
@@ -159,9 +164,15 @@ class BasicTokenizer:
 
         if self._device_merges is None:
             self._device_merges = jnp.asarray(np.asarray(self.merges, dtype=np.int32))
-        L = row_length or _encode_capacity(max((len(d) for d in docs), default=1))
+        from ..ops import pallas as pallas_pkg
+
+        L = row_length or max(
+            _encode_capacity(max((len(d) for d in docs), default=1)), 1024
+        )
         tokens, _ = eb.pad_batch(docs, L)
-        out, lengths = _encode_batch_jit()(tokens, self._device_merges)
+        out, lengths = _encode_batch_jit(pallas_pkg.encode_kernel_supported(L))(
+            tokens, self._device_merges
+        )
         out = np.asarray(out)
         lengths = np.asarray(lengths)
         return [out[i, : lengths[i]].tolist() for i in range(len(docs))]

@@ -105,16 +105,57 @@ def pad_token_ids(ids, capacity: int):
     return jnp.asarray(buf), jnp.int32(ids.size)
 
 
-def pair_histogram(tokens: jax.Array, vocab_size: int) -> jax.Array:
+def pair_streams(tokens: jax.Array, layout_block: int | None = None):
+    """(a, b) where b[j] is the next LOGICAL token after position j (PAD if
+    none) — the universal adjacent-pair view behind every counting and
+    selection op.
+
+    Two stream layouts share this builder:
+
+    * ``layout_block=None``: one global prefix with a PAD tail (the XLA
+      trainer's layout) — b is a plain shift.
+    * ``layout_block=C``: block-local prefixes of C elements (the Pallas
+      merge kernel's layout, ops/pallas/merge.py): within a block b is the
+      shift; the last valid slot of a block pairs with slot 0 of the next
+      block (non-empty-successor invariant). A globally-compacted stream is
+      a special case, so this form is safe whenever C divides the capacity.
+    """
+    n = tokens.shape[0]
+    if layout_block and n % layout_block == 0 and n > layout_block:
+        G = n // layout_block
+        t2 = tokens.reshape(G, layout_block)
+        nxt = jnp.concatenate(
+            [t2[:, 1:], jnp.full((G, 1), PAD, t2.dtype)], axis=1
+        )
+        nextblk = jnp.concatenate(
+            [t2[1:, :1], jnp.full((1, 1), PAD, t2.dtype)], axis=0
+        )  # (G, 1): slot 0 of the following block
+        is_last = (t2 >= 0) & (nxt < 0)
+        b = jnp.where(is_last, nextblk, nxt).reshape(-1)
+    else:
+        b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    return tokens, b
+
+
+def compact_stream(tokens: jax.Array):
+    """Re-establish a single global valid prefix from any layout: stable
+    sort on a 0/1 dead key (kept tokens keep their order; PAD sinks to the
+    tail). Returns (tokens, length)."""
+    dead = (tokens < 0).astype(jnp.int32)
+    _, out = jax.lax.sort((dead, tokens), num_keys=1, is_stable=True)
+    return out, jnp.sum((tokens >= 0).astype(jnp.int32))
+
+
+def pair_histogram(tokens: jax.Array, vocab_size: int,
+                   layout_block: int | None = None) -> jax.Array:
     """Dense ``V*V`` histogram of adjacent pairs, overlaps included
     (reference semantics: basic_tokenizer.zig:234-278).
 
-    ``tokens`` must be prefix-compacted with PAD tail. Pairs involving PAD
-    (including the final-position wraparound) scatter out of range and drop.
+    Pairs involving PAD (including the final-position wraparound) scatter
+    out of range and drop.
     """
     V = vocab_size
-    a = tokens
-    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    a, b = pair_streams(tokens, layout_block)
     valid = b >= 0  # prefix property: a >= 0 wherever b >= 0
     pid = jnp.where(valid, a * V + b, V * V)
     return jnp.zeros((V * V,), jnp.int32).at[pid].add(1, mode="drop")
@@ -134,7 +175,8 @@ def select_top_pair(hist: jax.Array, vocab_size: int):
     return top // V, top % V, max_count
 
 
-def select_top_pair_sorted(tokens: jax.Array, vocab_size: int):
+def select_top_pair_sorted(tokens: jax.Array, vocab_size: int,
+                           layout_block: int | None = None):
     """Argmax pair straight from the token stream via sort + segment scan —
     no histogram is materialized, no scatter is issued.
 
@@ -152,8 +194,7 @@ def select_top_pair_sorted(tokens: jax.Array, vocab_size: int):
     pair id: ``a * V + b`` would overflow int32 for V > 46341, and the
     u16 vocab cap is 65536 (basic_tokenizer.zig:140).
     """
-    a = tokens
-    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    a, b = pair_streams(tokens, layout_block)
     valid = b >= 0
     # invalid pairs sort last (V is at most 2^16, so 2^17 beats any token)
     BIG = jnp.int32(1 << 17)
@@ -174,12 +215,12 @@ def select_top_pair_sorted(tokens: jax.Array, vocab_size: int):
     return top_a, top_b, maxlen
 
 
-def count_pair(tokens: jax.Array, first, second):
-    """Exact count of adjacent pair (first, second) in the PAD-tailed
-    prefix stream — one masked reduction (overlaps included, reference
-    semantics basic_tokenizer.zig:234-278)."""
-    a = tokens
-    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+def count_pair(tokens: jax.Array, first, second,
+               layout_block: int | None = None):
+    """Exact count of adjacent pair (first, second) in the logical stream —
+    one masked reduction (overlaps included, reference semantics
+    basic_tokenizer.zig:234-278)."""
+    a, b = pair_streams(tokens, layout_block)
     return jnp.sum(((a == first) & (b == second) & (b >= 0)).astype(jnp.int32))
 
 
@@ -240,7 +281,7 @@ def xrow_counts(tokens: jax.Array, x, vocab_size: int, chunk: int = 1 << 15):
 
 
 def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
-                         batch: int = 8):
+                         batch: int = 8, layout_block: int | None = None):
     """Lazy-heap argmax: pop the ``batch`` largest entries of the stale
     upper-bound table ``ub``, verify them ALL with one exact corpus pass,
     and repeat until the table's argmax is a verified entry. Returns
@@ -256,8 +297,7 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
     """
     V = vocab_size
     ids = jax.lax.broadcasted_iota(jnp.int32, ub.shape, 0)
-    a = tokens
-    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    a, b = pair_streams(tokens, layout_block)
     pid_stream = jnp.where(b >= 0, a * V + b, -1)
 
     def round_(state):
@@ -343,40 +383,55 @@ def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Arr
     semantics), as a ``lax.while_loop`` of fused rounds.
 
     With ``use_pallas`` the merge+compaction runs as the fused Pallas TPU
-    kernel (ops.pallas.merge, one streaming pass); otherwise the portable
-    XLA formulation (greedy_hits + apply_hits) is used.
+    kernel (ops.pallas.merge): the stream lives in the kernel's block-local
+    prefix layout and the loop additionally breaks when a block's population
+    drops to <= 1 (the host must then globally recompact — compact_stream —
+    before continuing; see the kernel's layout contract). Otherwise the
+    portable XLA formulation (greedy_hits + apply_hits, globally compacted)
+    is used.
 
-    State:
-      tokens:    int32[N]  prefix-compacted corpus, PAD tail
+    State / returns:
+      tokens:    int32[N]  corpus stream (layout per the chosen path)
       length:    int32     number of valid tokens
       merges:    int32[M,3]  (first, second, new_token) rows, PAD-filled
       occupancy: int32[M]  per-merge occurrence count (for verbose/stats)
       num_merges: int32    merges completed so far
+      needs_compact: int32 0/1 — Pallas layout wants a global recompaction
     """
     V = vocab_size
     M = merges.shape[0]
     target = jnp.minimum(num_merges + max_rounds, M)
     if use_pallas:
+        from .pallas import BLOCK
         from .pallas import merge as pallas_merge
 
+        lb = BLOCK
+    else:
+        lb = None
+
     def cond(state):
-        toks, L, mg, occ, k = state
-        return (k < target) & (L >= 2)
+        toks, L, mg, occ, k, flag = state
+        return (k < target) & (L >= 2) & (flag == 0)
 
     def body(state):
-        toks, L, mg, occ, k = state
-        ta, tb, cnt = select_top_pair_sorted(toks, V)
+        toks, L, mg, occ, k, flag = state
+        ta, tb, cnt = select_top_pair_sorted(toks, V, layout_block=lb)
         new_id = VOCAB_START + k
         if use_pallas:
-            toks, nhits = pallas_merge.merge_pass_pallas(toks, ta, tb, new_id)
+            toks, stats = pallas_merge.merge_pass_pallas(toks, ta, tb, new_id)
+            nhits = stats[0]
+            flag = (stats[2] <= 1).astype(jnp.int32)
         else:
             hits = greedy_hits(toks, ta, tb)
             toks, nhits = apply_hits(toks, hits, new_id)
         mg = mg.at[k].set(jnp.stack([ta, tb, new_id]))
         occ = occ.at[k].set(cnt)
-        return toks, L - nhits, mg, occ, k + 1
+        return toks, L - nhits, mg, occ, k + 1, flag
 
-    return jax.lax.while_loop(cond, body, (tokens, length, merges, occupancy, num_merges))
+    return jax.lax.while_loop(
+        cond, body,
+        (tokens, length, merges, occupancy, num_merges, jnp.int32(0)),
+    )
 
 
 def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array,
@@ -401,18 +456,25 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
     M = merges.shape[0]
     target = jnp.minimum(num_merges + max_rounds, M)
     if use_pallas:
+        from .pallas import BLOCK
         from .pallas import merge as pallas_merge
 
+        lb = BLOCK
+    else:
+        lb = None
+
     def cond(state):
-        toks, L, u, mg, occ, k = state
-        return (k < target) & (L >= 2)
+        toks, L, u, mg, occ, k, flag = state
+        return (k < target) & (L >= 2) & (flag == 0)
 
     def body(state):
-        toks, L, u, mg, occ, k = state
-        ta, tb, cnt, u = select_top_pair_lazy(u, toks, V)
+        toks, L, u, mg, occ, k, flag = state
+        ta, tb, cnt, u = select_top_pair_lazy(u, toks, V, layout_block=lb)
         new_id = VOCAB_START + k
         if use_pallas:
-            toks, nhits = pallas_merge.merge_pass_pallas(toks, ta, tb, new_id)
+            toks, stats = pallas_merge.merge_pass_pallas(toks, ta, tb, new_id)
+            nhits = stats[0]
+            flag = (stats[2] <= 1).astype(jnp.int32)
         else:
             hits = greedy_hits(toks, ta, tb)
             toks, nhits = apply_hits(toks, hits, new_id)
@@ -434,10 +496,11 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
         u = u2.reshape(V * V)
         mg = mg.at[k].set(jnp.stack([ta, tb, new_id]))
         occ = occ.at[k].set(cnt)
-        return toks, L - nhits, u, mg, occ, k + 1
+        return toks, L - nhits, u, mg, occ, k + 1, flag
 
     return jax.lax.while_loop(
-        cond, body, (tokens, length, ub, merges, occupancy, num_merges)
+        cond, body,
+        (tokens, length, ub, merges, occupancy, num_merges, jnp.int32(0)),
     )
 
 
@@ -446,8 +509,10 @@ def encode_replay(tokens: jax.Array, merges: jax.Array, use_pallas: bool = False
     (basic_tokenizer.zig:71-88): one greedy pass + compaction per merge,
     as a ``lax.scan`` over the (M, 3) merge table. PAD rows are no-ops.
 
-    With ``use_pallas`` each pass is the fused streaming kernel — its
-    sparse-round fast paths make late merges (few hits) nearly free.
+    With ``use_pallas`` each pass is the fused streaming kernel (block-local
+    layout through the scan; one final compact_stream re-establishes the
+    global prefix) — its sparse-round fast paths make late merges (few hits)
+    nearly free.
 
     Returns (tokens, length) with tokens prefix-compacted.
     """
@@ -469,4 +534,6 @@ def encode_replay(tokens: jax.Array, merges: jax.Array, use_pallas: bool = False
         return toks, None
 
     toks, _ = jax.lax.scan(step, tokens, merges)
+    if use_pallas:
+        return compact_stream(toks)
     return toks, jnp.sum((toks >= 0).astype(jnp.int32))

@@ -13,3 +13,19 @@ def merge_kernel_supported(capacity: int) -> bool:
     except RuntimeError:
         return False
     return backend == "tpu" and capacity % BLOCK == 0 and capacity >= BLOCK
+
+
+def encode_kernel_supported(row_length: int) -> bool:
+    """True when the batched-replay encode kernel can run: TPU backend and
+    a row length of R*128 lanes with 8 <= R <= 256 (the packed bit-move's
+    15-bit in-row shift cap). Longer rows use the single-stream path; the
+    XLA batch formulation (ops.encode_batch) is the portable fallback."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return (
+        backend == "tpu"
+        and row_length % 128 == 0
+        and 8 <= row_length // 128 <= 256
+    )

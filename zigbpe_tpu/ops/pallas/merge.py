@@ -1,10 +1,9 @@
-"""Pallas TPU kernel: one fused greedy-merge + compaction pass.
+"""Pallas TPU kernel: one fused greedy-merge + block-local compaction pass.
 
 This is the Stage-2 hot-path kernel (SURVEY.md §7): the device analogue of
 the reference's ``replaceTopPairWithNewToken`` (basic_tokenizer.zig:207-232)
-— one leftmost-greedy pass replacing pair (a, b) with ``new_token``, the
-partner slot killed, and the stream compacted back to a PAD-tailed prefix —
-done in a SINGLE streaming pass over HBM.
+— one leftmost-greedy pass replacing pair (a, b) with ``new_token`` and the
+partner slot killed — done in a SINGLE streaming pass over HBM.
 
 Why a kernel at all: measured on this backend (true device sync), the XLA
 formulation costs ~29 ms per round at 8Mi tokens (cummax parity scan ~12 ms
@@ -12,45 +11,52 @@ formulation costs ~29 ms per round at 8Mi tokens (cummax parity scan ~12 ms
 over HBM. The token stream at 8Mi tokens is only 32 MB — speed-of-light for
 read+write is ~0.1 ms. This kernel streams each block exactly once.
 
-Design (everything below is per (R, 128) block, sequential grid, carries in
-SMEM — TPU grids execute in order):
+Layout contract — **block-local prefixes** (the key design choice): the
+token array is a sequence of (R*128)-element blocks, each of which is a
+valid-token prefix with a PAD tail. The LOGICAL stream is the concatenation
+of the block prefixes. The kernel compacts each block locally and writes it
+back to its own (aligned, pipeline-DMA'd) slot; tokens never migrate across
+blocks, so there is no staging ring, no unaligned stores, and no flush
+bookkeeping — an earlier design that maintained a single global prefix paid
+~40% of its VPU work rotating and staging compacted data into a ring buffer.
+Trainers re-establish a single global prefix only when they need one
+(shrink / checkpoint), with one cheap stable sort (ops.core.compact_stream).
 
-* The 1-D token array is viewed as (N/128, 128) row-major; flat order ==
-  logical order.
-* **Hits**: candidate mask c[j] = (t[j]==a) & (t[j+1]==b); for a != b
-  candidates cannot overlap, so hits = c. For a == b, leftmost-greedy picks
-  alternate members of each candidate run (reference semantics ``aaa`` ->
-  ``[X, a]``): hit[j] = c[j] & odd(j - last_non_candidate_index(j)), which
-  is a prefix-max over global indices — computed as a two-level in-block
-  scan (lane scan then row scan; shifts are static concatenates) combined
-  with a scalar carry of the previous blocks' max.
-* The pair spanning the block edge belongs to THIS block (its second token
-  is peeked from the next block via a second, 8-row input ref); a hit there
-  sends a kill-first carry to the next block.
-* **Compaction**: keep = alive & ~killed; dest = exclusive-cumsum(keep).
-  Kept elements move to dest via the monotone bit-move: for each bit b of
-  the shift amount (j - dest[j], non-decreasing in j), elements whose shift
-  has bit b move left by 2^b. Monotonicity (clearing low bits of a
-  non-decreasing sequence keeps it non-decreasing) makes every partial step
-  collision-free, so each step is two flat shifts + selects.
-* Compacted elements append into a (4C,) VMEM ring buffer at dynamic
-  offset ``pending mod 4C`` via bit-decomposed static rotations (mod C —
-  ring blocks are C-congruent) + masked merge (software unaligned store).
-  Whenever a ring block fills, it DMAs to the output WITHOUT waiting; a
-  block waits for flush j only when its writes could touch j's slot
-  (drain-to-2 backlog), so DMA latency hides behind compute. The output
-  ALIASES the input, so the PAD tail beyond the old valid length is
-  inherited rather than re-written; the final grid step drains, flushes
-  the partial tail, and PAD-fills only the newly-vacated gap.
+Block-local invariants the trainers maintain:
 
-* Fast paths: the parity scan runs only when a == b; the bit-move runs
-  only when the block actually killed a slot; rotation only when the
-  staging offset is misaligned. Late rounds (sparse hits) skip almost
-  all scan work.
+* Every block that precedes a block with valid tokens is non-empty (an
+  empty interior block would break next-block adjacency peeking). A merge
+  round can empty a block only if the block entered it with < 2 tokens, so
+  the kernel reports ``min_kept`` (the smallest post-round population of any
+  non-empty input block) and the trainer globally recompacts when it drops
+  to <= 1 — for text-like corpora this effectively never fires, because the
+  shrink schedule recompacts long before any block drains.
+* Within a block, valid positions are exactly [0, L): a token's logical
+  rank is its flat index plus the carry of earlier block populations, which
+  makes the leftmost-greedy parity indices free (no rank scan needed).
 
-The kernel returns (compacted_tokens, stats[nhits, new_length]). It is
-bit-exact vs ops.core.merge_pass (tested in tests/test_pallas_merge.py via
-interpret mode on CPU and compiled on TPU).
+Per (R, 128) block, sequential grid (one TensorCore — grids execute in
+order), carries in SMEM:
+
+* **Hits**: candidate mask c[j] = (t[j]==a) & (next[j]==b), where next[j]
+  is t[j+1] except at the block's last valid slot, which peeks slot 0 of
+  the next block (8-row secondary input ref). For a != b candidates cannot
+  overlap, so hits = c. For a == b, leftmost-greedy picks alternate members
+  of each candidate run (reference semantics ``aaa`` -> ``[X, a]``):
+  hit[j] = c[j] & odd(rank j - rank of last non-candidate), via an in-block
+  max-scan over logical ranks combined with a scalar carry.
+* A hit on the block-edge pair writes the new token locally and sends a
+  kill-first carry to the next block (whose slot 0 is the partner).
+* **Compaction** (local): keep = alive & ~killed; dest = exclusive cumsum;
+  kept elements move by the monotone bit-move — for each bit 2^b of the
+  shift (j - dest[j], non-decreasing in j), elements whose shift has that
+  bit move left by 2^b; every partial step is collision-free. The shift is
+  bounded by the block's kill count, so step 2^b runs (as a pl.when branch)
+  only when the block killed >= 2^b slots: sparse rounds pay O(log kills).
+
+The kernel returns (tokens', stats[nhits, new_length, min_kept]) with
+tokens' aliasing the input. It is logically bit-exact vs ops.core.merge_pass
+(tested via interpret mode on CPU and compiled on TPU against the oracle).
 """
 
 from __future__ import annotations
@@ -116,24 +122,6 @@ def _shift_left_flat(x, s: int, fill):
     b = jnp.concatenate([jnp.full((R, C - sm), fill, x.dtype), b[:, :sm]], axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
     return jnp.where(col >= C - sm, b, a)
-
-
-def _rotate_flat(x, s: int):
-    """Circular flat rotation right by static s (elements wrap around)."""
-    R, C = x.shape
-    n = R * C
-    s = s % n
-    if s == 0:
-        return x
-    sd, sm = divmod(s, C)
-    a = jnp.concatenate([x[R - sd :, :], x[: R - sd, :]], axis=0) if sd else x
-    if sm == 0:
-        return a
-    b = jnp.concatenate([a[-1:, :], a[:-1, :]], axis=0)
-    a = jnp.concatenate([a[:, -sm:], a[:, :-sm]], axis=1)
-    b = jnp.concatenate([b[:, -sm:], b[:, :-sm]], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-    return jnp.where(col >= sm, a, b)
 
 
 def _scan_flat(x, op, fill):
@@ -206,7 +194,7 @@ def _compact_bitmove(val, keep, dest, nkilled, work_ref):
 
         b *= 2
     packed = work_ref[:]
-    work_ref[:] = jnp.where(packed >= 0, packed & 0xFFFF, PAD)
+    return jnp.where(packed >= 0, packed & 0xFFFF, PAD)
 
 
 # ---------------------------------------------------------------------------
@@ -218,14 +206,12 @@ def _merge_kernel(
     scalars,      # SMEM int32[3]: (a, b, new_token)   [scalar prefetch]
     tok_ref,      # VMEM (R, 128) current block
     nxt_ref,      # VMEM (8, 128) first rows of next block (clamped at end)
-    out_ref,      # ANY  (rows, 128) full output, written via manual DMA
-    stats_ref,    # SMEM int32[2]: (nhits, new_length)
-    staging,      # VMEM (4R, 128) ring of 4 flush blocks
-    padblk,       # VMEM (4R, 128) scratch of PAD for tail fill
-    work,         # VMEM (R, 128) scratch: bit-move + rotation staging
+    out_ref,      # ANY  (rows, 128) full output in HBM (aliases the input)
+    stats_ref,    # SMEM int32[3]: (nhits, new_length, min_kept)
+    work,         # VMEM (R, 128) scratch: bit-move staging
+    obuf,         # VMEM (2R, 128) double-buffered output staging
     carry,        # SMEM int32[8]: see _init
-    sem,          # DMA semaphore array (4,) for ring flushes
-    pad_sem,      # DMA semaphore for tail PAD fills
+    sem,          # DMA semaphore array (2,) for output copies
     *,
     R: int,
 ):
@@ -235,225 +221,131 @@ def _merge_kernel(
 
     @pl.when(i == 0)
     def _init():
-        carry[0] = NEG  # last non-candidate global pair index ("none yet")
-        carry[1] = 0    # kill-first flag
-        carry[2] = 0    # pending: total staged elements (= new length so far)
-        carry[3] = 0    # flushes started
-        carry[4] = 0    # total hits
-        carry[5] = 0    # total valid input tokens seen
-        carry[6] = 0    # flushes waited
-        stats_ref[0] = 0
-        stats_ref[1] = 0
-        padblk[:] = jnp.full((4 * R, LANES), PAD, jnp.int32)
-
-    # drain the flush backlog to <= 2 outstanding BEFORE this block's ring
-    # writes can touch a slot a 3-back flush may still be reading
-    def drain_to(limit):
-        flushed0 = carry[3]
-        waited0 = carry[6]
-        todo = jnp.maximum(flushed0 - waited0 - limit, 0)
-
-        def wbody(t, _):
-            pltpu.make_async_copy(
-                staging.at[pl.ds(0, R), :], out_ref.at[pl.ds(0, R), :],
-                sem.at[(waited0 + t) % 4],
-            ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, todo, wbody, 0)
-        carry[6] = waited0 + todo
-
-    drain_to(2)
+        carry[0] = NEG      # logical rank of the last non-candidate pair
+        carry[1] = 0        # kill-first flag for this block
+        carry[2] = 0        # logical rank offset (sum of earlier block pops)
+        carry[3] = 0        # total hits
+        carry[4] = 0        # total kept (new logical length)
+        carry[5] = 0x7FFFFFFF  # min kept over non-empty input blocks
+        carry[6] = 0        # copy in flight on obuf slot 0?
+        carry[7] = 0        # copy in flight on obuf slot 1?
 
     a = scalars[0]
     b = scalars[1]
     new_tok = scalars[2]
 
     tok = tok_ref[:]
-    valid_cnt = jnp.sum((tok >= 0).astype(jnp.int32))
-    sidx = (
-        jax.lax.broadcasted_iota(jnp.int32, (4 * R, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (4 * R, LANES), 1)
-    )
+    valid = tok >= 0
+    L = jnp.sum(valid.astype(jnp.int32))
 
-    # All-PAD tail blocks (prefix invariant: once the tail starts nothing
-    # follows) carry no candidates, no kills, no staged data — skip all
-    # vector work. The carries are untouched: an edge hit into a PAD block
-    # is impossible, so kill-first is already 0.
-    @pl.when(valid_cnt > 0)
+    slot = i % 2
+
+    def store_block(value):
+        """Write this block's new content: stage in the slot's VMEM buffer
+        and fire an async copy to the block's (aligned) HBM slot — never
+        waited here; the wait happens when the slot is reused two blocks
+        later, so the copy hides behind the next block's compute."""
+
+        @pl.when(carry[6 + slot] == 1)
+        def _drain():
+            pltpu.make_async_copy(
+                obuf.at[pl.ds(slot * R, R), :],
+                out_ref.at[pl.ds(0, R), :],
+                sem.at[slot],
+            ).wait()
+
+        obuf[pl.ds(slot * R, R), :] = value
+        pltpu.make_async_copy(
+            obuf.at[pl.ds(slot * R, R), :],
+            out_ref.at[pl.ds(i * R, R), :],
+            sem.at[slot],
+        ).start()
+        carry[6 + slot] = 1
+
+    # Blocks whose content is unchanged (all-PAD tail, or no hits and no
+    # kill carry) are never written at all: the output aliases the input,
+    # so their bytes are already correct — late sparse rounds write only
+    # the handful of blocks they actually touch.
+    @pl.when(L > 0)
     def _process():
         nxt = _shift_left_flat(tok, 1, jnp.int32(PAD))
-        # the block-edge pair's second token comes from the next block
+        # the pair of the last valid slot peeks slot 0 of the next block
+        # (block-local prefix invariant: a non-empty successor's slot 0 is
+        # valid; an all-PAD successor yields PAD and kills the candidate)
+        edge_second = jnp.where(i == G - 1, jnp.int32(PAD), nxt_ref[0, 0])
+        is_lastvalid = valid & (nxt < 0)
+        nxt2 = jnp.where(is_lastvalid, edge_second, nxt)
+
+        cand = valid & (tok == a) & (nxt2 == b) & (nxt2 >= 0)
+
+        # leftmost-greedy parity for a == b runs: logical pair ranks are
+        # carry[2] + flat index (valid slots are exactly [0, L) — free
+        # ranks). For a != b candidates cannot overlap: hits = candidates.
+        # (cond branches yield int32 — Mosaic cannot yield i1 vectors)
         row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-        is_last = (row == R - 1) & (col == LANES - 1)
-        edge_second = jnp.where(i == G - 1, jnp.int32(PAD), nxt_ref[0, 0])
-        nxt2 = jnp.where(is_last, edge_second, nxt)
+        rank = carry[2] + row * LANES + col
 
-        cand = (tok == a) & (nxt2 == b) & (nxt2 >= 0) & (tok >= 0)
-        gidx = i * C + row * LANES + col
-        non_cand_idx = jnp.where(cand, NEG, gidx)
-
-        # leftmost-greedy parity for a == b runs (global pair indices); for
-        # a != b candidates cannot overlap, so skip the scan entirely.
-        # (cond branches yield int32 — Mosaic cannot yield i1 vectors)
         def with_parity(c_mask):
-            last_nonc = jnp.maximum(_max_scan_flat(non_cand_idx), carry[0])
-            return (c_mask & (((gidx - last_nonc) & 1) == 1)).astype(jnp.int32)
+            non_cand_rank = jnp.where(c_mask == 1, NEG, rank)
+            last_nonc = jnp.maximum(_max_scan_flat(non_cand_rank), carry[0])
+            return ((c_mask == 1) & (((rank - last_nonc) & 1) == 1)).astype(
+                jnp.int32
+            )
 
         hit = jax.lax.cond(
-            a == b, with_parity, lambda c_mask: c_mask.astype(jnp.int32), cand
+            a == b, with_parity, lambda c_mask: c_mask, cand.astype(jnp.int32)
         ) == 1
 
         # kills: partner of an in-block hit, or the kill-first carry
         # (shift in int32 — Mosaic cannot shift/concat i1 vectors)
         killed = _shift_right_flat(hit.astype(jnp.int32), 1, 0) == 1
-        killed = killed | ((gidx == i * C) & (carry[1] == 1))
+        killed = killed | ((row * LANES + col == 0) & (carry[1] == 1))
 
         written = jnp.where(hit, new_tok, tok)
-        keep = (tok >= 0) & ~killed
+        keep = valid & ~killed
         kept = jnp.sum(keep.astype(jnp.int32))
         nhits_blk = jnp.sum(hit.astype(jnp.int32))
         nkilled = jnp.sum(killed.astype(jnp.int32))
 
-        # compact kept elements to the block front; with no kills `written`
-        # is already a PAD-tailed prefix (PAD only ever in the input tail)
+        # local compaction back to a block prefix; with no kills `written`
+        # is already one (PAD only ever in the block tail). Untouched
+        # blocks skip the store entirely (aliased output).
         @pl.when(nkilled > 0)
         def _do_compact():
             dest = _sum_scan_flat(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
-            _compact_bitmove(written, keep, dest, nkilled, work)
+            store_block(_compact_bitmove(written, keep, dest, nkilled, work))
 
-        @pl.when(nkilled == 0)
+        @pl.when((nkilled == 0) & (nhits_blk > 0))
         def _no_compact():
-            work[:] = written
+            store_block(written)
 
-        # ---- stage: software unaligned append into the 4C ring ----
-        # rotate within the C-domain (mod C); ring positions congruent mod C
-        # read the same source, so one rotation serves all 4 ring blocks.
-        # Each set bit of the rotation amount is a real pl.when branch — a
-        # select-based formulation would compute every power-of-two rotation
-        pending = carry[2]
-        pmod = pending & (4 * C - 1)
-        amt = pending & (C - 1)
-        step = 1
-        while step < C:
-
-            @pl.when((amt & step) != 0)
-            def _rot(step=step):
-                work[:] = _rotate_flat(work[:], step)
-
-            step *= 2
-
-        rot = work[:]
-        # Ring quadrants are C-congruent, so the rotated block maps onto
-        # every quadrant identically — update ONLY the (at most two)
-        # quadrants the window [pmod, pmod+kept) actually touches, with
-        # static slices (a full-ring masked merge costs 4x the traffic).
-        cidx = (
-            jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        # carries: parity rank (non-candidates only), edge-hit kill-first,
+        # rank offset, totals, min population
+        carry[0] = jnp.maximum(
+            carry[0], jnp.max(jnp.where(cand | (rank >= carry[2] + L), NEG, rank))
         )
-        lo = pmod
-        hi = pmod + kept  # <= 5C; may wrap past the ring end
-        for q in range(4):
-            touched = ((lo < (q + 1) * C) & (hi > q * C)) | (hi - 4 * C > q * C)
+        carry[1] = jnp.sum((hit & is_lastvalid).astype(jnp.int32))
+        carry[2] = carry[2] + L
+        carry[3] = carry[3] + nhits_blk
+        carry[4] = carry[4] + kept
+        carry[5] = jnp.minimum(carry[5], kept)
 
-            @pl.when(touched)
-            def _(q=q):
-                dq = q * C + cidx - pmod
-                dq = jnp.where(dq < 0, dq + 4 * C, dq)
-                in_q = dq < kept
-                staging[q * R : (q + 1) * R, :] = jnp.where(
-                    in_q, rot, staging[q * R : (q + 1) * R, :]
-                )
-
-        pending = pending + kept
-        carry[2] = pending
-
-        # ---- start (don't wait) one ring-block flush if a block filled ----
-        flushed = carry[3]
-
-        @pl.when(pending - flushed * C >= C)
-        def _flush():
-            pltpu.make_async_copy(
-                staging.at[pl.ds((flushed % 4) * R, R), :],
-                out_ref.at[pl.ds(flushed * R, R), :],
-                sem.at[flushed % 4],
-            ).start()
-            carry[3] = flushed + 1
-
-        carry[0] = jnp.maximum(carry[0], jnp.max(non_cand_idx))
-        carry[1] = hit.astype(jnp.int32)[R - 1, LANES - 1]
-        carry[4] = carry[4] + nhits_blk
-        carry[5] = carry[5] + valid_cnt
-
-    # ---- final step: drain, flush the partial tail, PAD-fill the gap ----
     @pl.when(i == G - 1)
     def _finish():
-        drain_to(0)
-        f = carry[3]
-        newlen = carry[2]
-        # PAD the unwritten slots of the final partial ring block
-        npad_from = newlen & (4 * C - 1)
-        dd = sidx - npad_from
-        dd = jnp.where(dd < 0, dd + 4 * C, dd)
-        staging[:] = jnp.where(dd < (f + 1) * C - newlen, PAD, staging[:])
-        tail = pltpu.make_async_copy(
-            staging.at[pl.ds((f % 4) * R, R), :],
-            out_ref.at[pl.ds(f * R, R), :],
-            sem.at[f % 4],
-        )
-        tail.start()
-        tail.wait()
+        for s in range(2):
 
-        # PAD-fill [f+1, ceil(valid_total/C)) — beyond that the output
-        # already holds PAD, because it aliases the input (the old tail)
-        vend = (carry[5] + C - 1) // C  # in C-blocks
-        base = f + 1
-        if G >= 5:  # batched 4-block PADs only make sense on larger grids
-            n4 = jnp.maximum((vend - base) // 4, 0)
-
-            def pad4(j, _):
+            @pl.when(carry[6 + s] == 1)
+            def _wait(s=s):
                 pltpu.make_async_copy(
-                    padblk.at[:, :],
-                    out_ref.at[pl.ds((base + j * 4) * R, 4 * R), :],
-                    pad_sem,
-                ).start()
-                return 0
-
-            jax.lax.fori_loop(0, n4, pad4, 0)
-        else:
-            n4 = jnp.int32(0)
-
-        def pad1(j, _):
-            pltpu.make_async_copy(
-                padblk.at[pl.ds(0, R), :],
-                out_ref.at[pl.ds((base + n4 * 4 + j) * R, R), :],
-                pad_sem,
-            ).start()
-            return 0
-
-        n1 = jnp.maximum(vend - base - n4 * 4, 0)
-        jax.lax.fori_loop(0, n1, pad1, 0)
-
-        if G >= 5:
-            def wait4(j, _):
-                pltpu.make_async_copy(
-                    padblk.at[:, :], out_ref.at[pl.ds(0, 4 * R), :], pad_sem
+                    obuf.at[pl.ds(s * R, R), :],
+                    out_ref.at[pl.ds(0, R), :],
+                    sem.at[s],
                 ).wait()
-                return 0
 
-            jax.lax.fori_loop(0, n4, wait4, 0)
-
-        def wait1(j, _):
-            pltpu.make_async_copy(
-                padblk.at[pl.ds(0, R), :], out_ref.at[pl.ds(0, R), :], pad_sem
-            ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, n1, wait1, 0)
-        stats_ref[0] = carry[4]
-        stats_ref[1] = newlen
+        stats_ref[0] = carry[3]
+        stats_ref[1] = carry[4]
+        stats_ref[2] = jnp.minimum(carry[5], jnp.int32(0x7FFFFFFF))
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -461,15 +353,17 @@ def merge_pass_pallas(
     tokens: jax.Array, first, second, new_token, *, block_rows: int = 256,
     interpret: bool = False,
 ):
-    """Fused greedy merge + compaction (drop-in for ops.core.merge_pass).
+    """Fused greedy merge + block-local compaction.
 
-    ``tokens``: int32[N] PAD-tailed prefix, N a multiple of block_rows*128.
-    Returns (new_tokens, num_hits). Exact reference semantics
+    ``tokens``: int32[N] in block-local prefix layout (a globally-compacted
+    stream is a special case), N a multiple of block_rows*128. Returns
+    (new_tokens, stats[nhits, new_length, min_kept]) in the same layout.
+    Exact reference semantics on the logical stream
     (basic_tokenizer.zig:207-232), including ``aaa -> [X, a]``.
 
-    Larger blocks amortize the per-block fixed cost of the (inherently
-    sequential — one TensorCore) grid; 256 rows is the cap because the
-    packed bit-move encodes the in-block shift in 15 bits (C <= 32768).
+    256-row blocks amortize the per-block fixed cost of the (inherently
+    sequential — one TensorCore) grid; 256 is the cap because the packed
+    bit-move encodes the in-block shift in 15 bits (C <= 32768).
     """
     N = tokens.shape[0]
     R = block_rows
@@ -503,12 +397,10 @@ def merge_pass_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((4 * R, LANES), jnp.int32),
-            pltpu.VMEM((4 * R, LANES), jnp.int32),
             pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((2 * R, LANES), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, stats = pl.pallas_call(
@@ -516,14 +408,13 @@ def merge_pass_pallas(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((2,), jnp.int32),
+            jax.ShapeDtypeStruct((3,), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        # output 0 aliases the token input: compaction writes in place
-        # (safe: every flush/PAD write targets rows <= the read frontier),
-        # and the PAD tail beyond the old valid length is inherited from
-        # the input instead of being re-written
+        # the output aliases the token input: untouched blocks (no hits, no
+        # kills — the common case in late sparse rounds) are never copied,
+        # their bytes are simply inherited
         input_output_aliases={1: 0},
         interpret=interpret,
     )(scalars, tok2d, tok2d)
-    return out.reshape(N), stats[0]
+    return out.reshape(N), stats

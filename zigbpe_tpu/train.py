@@ -67,6 +67,97 @@ def _init_ub(tokens, *, vocab_size):
     return core.pair_histogram(tokens, vocab_size)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _compact_jit(tokens):
+    """Re-establish the single global prefix from the Pallas kernel's
+    block-local layout (stable sort on a dead key)."""
+    out, _ = core.compact_stream(tokens)
+    return out
+
+
+# --- instrumented per-round path (reference-taxonomy phase observability:
+# the reference times sort / replace / generate-pairs / count-pairs per
+# call, utils/time_statistics.zig:36-60; the fused chunk loop hides that
+# split, so --time-stats-detailed trades per-round host syncs for it) ---
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_size", "layout_block"))
+def _select_round_jit(tokens, ub, *, vocab_size, layout_block):
+    return core.select_top_pair_lazy(
+        ub, tokens, vocab_size, layout_block=layout_block
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("vocab_size", "layout_block"))
+def _select_round_sorted_jit(tokens, *, vocab_size, layout_block):
+    return core.select_top_pair_sorted(
+        tokens, vocab_size, layout_block=layout_block
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",), donate_argnums=(0,))
+def _merge_round_jit(tokens, ta, tb, new_id, *, use_pallas):
+    if use_pallas:
+        from .ops.pallas import merge as pallas_merge
+
+        toks, stats = pallas_merge.merge_pass_pallas(tokens, ta, tb, new_id)
+        return toks, stats[0], stats[2]
+    toks, nhits = core.merge_pass(tokens, ta, tb, new_id)
+    return toks, nhits, jnp.int32(2)
+
+
+def _train_device_instrumented(
+    tokens, length_host: int, vocab_size: int, start_merges, capacity: int,
+    stats: TimeStats, verbose: bool, shrink: bool,
+) -> List[Merge]:
+    """Per-round loop with per-phase device timing in the reference's
+    taxonomy (sort / replace; utils/time_statistics.zig:36-60): selection
+    is the exact per-round sort (like the reference's sortCodePointPairs)
+    and each phase ends with a host sync, so the split is real device time
+    — at ~2 syncs of tunnel latency per round."""
+    from .ops import pallas as pallas_pkg
+    from .ops.pallas import BLOCK
+
+    M = vocab_size - core.VOCAB_START
+    merges: List[Merge] = list(start_merges)
+    while len(merges) < M and length_host >= 2:
+        use_pallas = pallas_pkg.merge_kernel_supported(capacity)
+        lb = BLOCK if use_pallas else None
+        with stats.phase("sort_pairs"):
+            ta, tb, cnt = _select_round_sorted_jit(
+                tokens, vocab_size=vocab_size, layout_block=lb
+            )
+            pair = np.asarray(jnp.stack([ta, tb, cnt]))
+        if int(pair[2]) == 0:
+            break
+        new_id = core.VOCAB_START + len(merges)
+        with stats.phase("replace_pairs"):
+            tokens, nhits, min_kept = _merge_round_jit(
+                tokens, jnp.int32(int(pair[0])), jnp.int32(int(pair[1])),
+                jnp.int32(new_id), use_pallas=use_pallas,
+            )
+            nk = np.asarray(jnp.stack([nhits, min_kept]))
+        merges.append((int(pair[0]), int(pair[1]), new_id))
+        length_host -= int(nk[0])
+        if verbose:
+            print(
+                f"merge {len(merges)}/{M}: ({pair[0]},{pair[1]}) -> "
+                f"{new_id} had {pair[2]} occurrences"
+            )
+        want_shrink = (
+            shrink and capacity > MIN_CAPACITY and length_host <= capacity // 2
+        )
+        if use_pallas and (int(nk[1]) <= 1 or want_shrink):
+            tokens = _compact_jit(tokens)
+        while shrink and capacity > MIN_CAPACITY and length_host <= capacity // 2:
+            capacity //= 2
+            tokens = tokens[:capacity]
+
+    if len(merges) < M and length_host < 2:
+        print("No more pairs to merge. Stopping early.")
+    return merges
+
+
 @functools.partial(jax.jit, static_argnames=("vocab_size",))
 def _place_byte_hist(block, *, vocab_size):
     """Seed the V*V upper-bound table from a host-computed (256, 256)
@@ -110,6 +201,7 @@ def train(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every_chunks: int = 4,
     resume: bool = True,
+    detailed_stats: bool = False,
 ) -> List[Merge]:
     """Train a BPE merge table on-device; exact reference semantics
     (basic_tokenizer.zig:140-205). Returns the ordered merge list.
@@ -117,6 +209,8 @@ def train(
     With ``checkpoint_dir`` set, a resumable checkpoint (merges.txt + the
     residual token stream) is written every ``checkpoint_every_chunks``
     chunks and training resumes from it if present (SURVEY.md §5).
+    ``detailed_stats`` uses the instrumented per-round loop (see
+    :func:`train_device`) for reference-taxonomy phase timing.
     """
     if vocab_size < core.VOCAB_START:
         raise ValueError(f"vocab_size must be >= 256, got {vocab_size}")
@@ -183,6 +277,7 @@ def train(
         verbose=verbose, chunk_rounds=chunk_rounds, shrink=shrink,
         stats=stats, checkpoint_dir=checkpoint_dir,
         checkpoint_every_chunks=checkpoint_every_chunks,
+        detailed_stats=detailed_stats,
     )
 
 
@@ -204,10 +299,17 @@ def train_device(
     stats: Optional[TimeStats] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every_chunks: int = 4,
+    detailed_stats: bool = False,
 ) -> List[Merge]:
     """Run the training chunk loop on an already device-resident corpus
     (see :func:`upload`). This is the compute path of :func:`train`,
-    exposed so callers can account host->device staging separately."""
+    exposed so callers can account host->device staging separately.
+
+    ``detailed_stats`` switches to an instrumented per-round loop that
+    times selection and merge/compaction separately (the reference's
+    per-phase taxonomy, utils/time_statistics.zig:36-60) at the price of
+    one host sync per phase per round — use for profiling, not production.
+    """
     M = vocab_size - core.VOCAB_START
     if merges is None:
         merges = jnp.full((M, 3), core.PAD, jnp.int32)
@@ -217,6 +319,13 @@ def train_device(
         k = jnp.int32(k_host)
     if capacity is None:
         capacity = tokens.shape[0]
+
+    if detailed_stats:
+        start = [tuple(int(v) for v in row) for row in np.asarray(merges[:k_host])]
+        return _train_device_instrumented(
+            tokens, length_host, vocab_size, start, capacity,
+            stats or TimeStats(), verbose, shrink,
+        )
 
     from .ops import pallas as pallas_pkg
 
@@ -230,27 +339,30 @@ def train_device(
                 ub = _init_ub(tokens, vocab_size=vocab_size)
 
     chunks_done = 0
+    layout_dirty = False  # tokens in the kernel's block-local layout?
     while k_host < M and length_host >= 2:
         rounds = min(chunk_rounds, M - k_host)
         with (stats or TimeStats.null()).phase("merge_rounds"):
             use_pallas = pallas_pkg.merge_kernel_supported(capacity)
             if lazy:
-                tokens, length, ub, merges, occupancy, k = _train_chunk_lazy(
+                tokens, length, ub, merges, occupancy, k, flag = _train_chunk_lazy(
                     tokens, length, ub, merges, occupancy, k,
                     vocab_size=vocab_size, max_rounds=rounds,
                     use_pallas=use_pallas,
                 )
             else:
-                tokens, length, merges, occupancy, k = _train_chunk(
+                tokens, length, merges, occupancy, k, flag = _train_chunk(
                     tokens, length, merges, occupancy, k,
                     vocab_size=vocab_size, max_rounds=rounds,
                     use_pallas=use_pallas,
                 )
-            # one host round-trip for both scalars (each sync pays the
+            # one host round-trip for all scalars (each sync pays the
             # full tunnel latency)
-            lk = np.asarray(jnp.stack([length, k]))
-            length_host = int(lk[0])
-            prev_k, k_host = k_host, int(lk[1])
+            lkf = np.asarray(jnp.stack([length, k, flag]))
+            length_host = int(lkf[0])
+            prev_k, k_host = k_host, int(lkf[1])
+            needs_compact = bool(lkf[2])
+            layout_dirty = layout_dirty or use_pallas
 
         if verbose:
             mg = np.asarray(merges[prev_k:k_host])
@@ -262,14 +374,26 @@ def train_device(
                     f"{mg[j, 2]} had {oc[j]} occurrences"
                 )
 
-        # Shrink: corpus only ever compacts; halve padded capacity when the
-        # valid prefix fits, so later rounds stream less HBM.
+        # Shrink: the corpus only ever compacts; halve padded capacity when
+        # the valid prefix fits, so later rounds stream less HBM. The
+        # kernel's block-local layout needs one global recompaction first
+        # (also when a block drained — needs_compact — or a checkpoint
+        # wants the logical stream).
+        chunks_done += 1
+        ckpt_due = bool(
+            checkpoint_dir and (chunks_done % checkpoint_every_chunks == 0)
+        )
+        want_shrink = (
+            shrink and capacity > MIN_CAPACITY and length_host <= capacity // 2
+        )
+        if layout_dirty and (needs_compact or want_shrink or ckpt_due):
+            tokens = _compact_jit(tokens)
+            layout_dirty = False
         while shrink and capacity > MIN_CAPACITY and length_host <= capacity // 2:
             capacity //= 2
             tokens = tokens[:capacity]
 
-        chunks_done += 1
-        if checkpoint_dir and (chunks_done % checkpoint_every_chunks == 0):
+        if ckpt_due:
             from .utils import checkpoint as ckpt
 
             ckpt.save(
