@@ -1,0 +1,81 @@
+"""BASELINE.json config 2: 1K merges on a 100 MB corpus, single chip.
+
+Trains on device, writes merges.txt, round-trips it through the
+deserializer, and checks exact merge-order conformance against the native
+single-core C++ trainer on the same corpus. Prints one JSON line.
+
+Run: python scripts/run_config2.py [MB] [MERGES]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+import numpy as np
+
+
+def main():
+    mb = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    vocab = 256 + n_merges
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/zigbpe_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bench import load_corpus
+    from zigbpe_tpu import train as train_mod
+    from zigbpe_tpu.native import fastio
+    from zigbpe_tpu.utils import serde
+
+    def sync(x):
+        np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+    data = load_corpus(mb << 20)
+    sync(jax.device_put(np.ones((8,), np.int32)))
+
+    t0 = time.perf_counter()
+    tokens, length, ub_block = train_mod.upload(data)
+    sync(tokens)
+    upload_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    merges = train_mod.train_device(
+        tokens, length, vocab, length_host=len(data), ub_seed_block=ub_block
+    )
+    train_s = time.perf_counter() - t0
+    assert len(merges) == n_merges, len(merges)
+
+    # merges.txt serde round trip (the conformance interchange artifact)
+    serde.save(merges, "/tmp/config2_merges.txt")
+    assert serde.load("/tmp/config2_merges.txt") == merges
+
+    # exact conformance vs the native single-core trainer
+    t0 = time.perf_counter()
+    native = fastio.train(data, vocab)
+    native_s = time.perf_counter() - t0
+    conform = native == merges
+    if not conform:
+        for i, (a, b) in enumerate(zip(native, merges)):
+            if a != b:
+                print(f"first divergence at merge {i}: native={a} device={b}",
+                      file=sys.stderr)
+                break
+
+    print(json.dumps({
+        "metric": f"config2_train_{n_merges}merges_{mb}MB",
+        "value": round(len(data) / train_s / 1e6, 3),
+        "unit": "MB/s/chip",
+        "train_s": round(train_s, 2),
+        "upload_s": round(upload_s, 2),
+        "serde_roundtrip": True,
+        "conforms_to_native": bool(conform),
+        "native_s": round(native_s, 2),
+        "native_mbps": round(len(data) / native_s / 1e6, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,30 @@ def test_golden_device(corpus_bytes, golden_merges):
     ids = tok.encode(corpus_bytes, backend="device")
     assert len(ids) == 128451
     assert tok.decode(ids) == corpus_bytes
+
+
+def test_large_vocab_sorted_path_end_to_end():
+    """vocab > LAZY_VOCAB_MAX routes the full train() driver through the
+    sort-based selection fallback (no dense ub table); conformance holds
+    end-to-end including early stop (basic_tokenizer.zig:188-191)."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    data = bytes(rng.integers(97, 101, 3000, dtype=np.uint8))
+    from zigbpe_tpu import train as train_mod
+
+    assert 9000 > train_mod.LAZY_VOCAB_MAX
+    got = train_mod.train(data, 9000)
+    assert got == oracle.train(data, 9000)
+
+
+def test_large_vocab_sorted_path_with_checkpoint(tmp_path):
+    data = b"the quick brown fox jumps over the lazy dog " * 30
+    from zigbpe_tpu import train as train_mod
+
+    d = tmp_path / "ck"
+    got = train_mod.train(
+        data, 9000, checkpoint_dir=str(d), checkpoint_every_chunks=1,
+        chunk_rounds=16,
+    )
+    assert got == oracle.train(data, 9000)
