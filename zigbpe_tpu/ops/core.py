@@ -436,7 +436,8 @@ def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Arr
 
 def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array,
                      occupancy: jax.Array, num_merges, vocab_size: int,
-                     max_rounds: int, use_pallas: bool = False):
+                     max_rounds: int, use_pallas: bool = False,
+                     select_batch: int = 8):
     """train_chunk with lazy upper-bound selection instead of the per-round
     sort. State adds ``ub``: int32[V*V] upper bounds on live pair counts
     (initialised from one full histogram; see select_top_pair_lazy for the
@@ -469,7 +470,9 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
 
     def body(state):
         toks, L, u, mg, occ, k, flag = state
-        ta, tb, cnt, u = select_top_pair_lazy(u, toks, V, layout_block=lb)
+        ta, tb, cnt, u = select_top_pair_lazy(
+            u, toks, V, batch=select_batch, layout_block=lb
+        )
         new_id = VOCAB_START + k
         if use_pallas:
             toks, stats = pallas_merge.merge_pass_pallas(toks, ta, tb, new_id)

@@ -51,14 +51,15 @@ def _train_chunk(tokens, length, merges, occupancy, num_merges, *, vocab_size,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vocab_size", "max_rounds", "use_pallas"),
+    static_argnames=("vocab_size", "max_rounds", "use_pallas", "select_batch"),
     donate_argnums=(0, 2, 3, 4),
 )
 def _train_chunk_lazy(tokens, length, ub, merges, occupancy, num_merges, *,
-                      vocab_size, max_rounds, use_pallas=False):
+                      vocab_size, max_rounds, use_pallas=False, select_batch=8):
     return core.train_chunk_lazy(
         tokens, length, ub, merges, occupancy, num_merges,
         vocab_size=vocab_size, max_rounds=max_rounds, use_pallas=use_pallas,
+        select_batch=select_batch,
     )
 
 
@@ -300,6 +301,7 @@ def train_device(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every_chunks: int = 4,
     detailed_stats: bool = False,
+    select_batch: int = 8,
 ) -> List[Merge]:
     """Run the training chunk loop on an already device-resident corpus
     (see :func:`upload`). This is the compute path of :func:`train`,
@@ -348,7 +350,7 @@ def train_device(
                 tokens, length, ub, merges, occupancy, k, flag = _train_chunk_lazy(
                     tokens, length, ub, merges, occupancy, k,
                     vocab_size=vocab_size, max_rounds=rounds,
-                    use_pallas=use_pallas,
+                    use_pallas=use_pallas, select_batch=select_batch,
                 )
             else:
                 tokens, length, merges, occupancy, k, flag = _train_chunk(
