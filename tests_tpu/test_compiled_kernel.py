@@ -97,3 +97,25 @@ def test_device_encode_compiled(corpus_bytes, golden_merges):
     ids = tok.encode(corpus_bytes, backend="device")
     assert len(ids) == 128451  # golden compression (SURVEY §2.3.9)
     assert tok.decode(ids) == corpus_bytes
+
+
+def test_batched_encode_kernel_compiled(corpus_bytes, golden_merges):
+    """Compiled batched-replay encode kernel (ops/pallas/encode.py) on rows
+    of the conformance corpus matches the oracle replay."""
+    import jax.numpy as jnp
+
+    from zigbpe_tpu.models import oracle
+    from zigbpe_tpu.ops.pallas import encode as pe
+
+    mtab = jnp.asarray(np.asarray(golden_merges, np.int32).reshape(-1, 3))
+    L = 1024
+    docs = [corpus_bytes[i * L : (i + 1) * L] for i in range(4)] + [
+        b"", b"a", b"aaaaaaa"
+    ]
+    buf = np.full((len(docs), L), -1, np.int32)
+    for i, d in enumerate(docs):
+        buf[i, : len(d)] = np.frombuffer(d, np.uint8)
+    out, lens = pe.encode_rows_pallas(jnp.asarray(buf), mtab)
+    out, lens = np.asarray(out), np.asarray(lens)
+    for i, d in enumerate(docs):
+        assert out[i, : lens[i]].tolist() == oracle.encode(d, golden_merges), i
