@@ -119,3 +119,48 @@ def test_min_kept_stat():
     blocks = np.asarray(out).reshape(-1, 8 * 128)
     assert int((blocks[0] >= 0).sum()) == 1
     assert int(stats[2]) <= 1  # the trainer would recompact now
+
+
+def test_min_kept_ignores_last_nonempty_block():
+    # a legitimately tiny TAIL block (no successor with tokens) must not
+    # trigger recompaction: only interior blocks can break the next-block
+    # adjacency peek
+    data = b"c" * 1024 + b"a" * 1024
+    out, _ = core.pad_tokens(data, 2048)
+    tok = 97
+    for r in range(10):  # last block: 1024 -> ... -> 1 token
+        new = 256 + r
+        out, stats = pm.merge_pass_pallas(out, tok, tok, new, block_rows=8,
+                                          interpret=True)
+        tok = new
+    blocks = np.asarray(out).reshape(-1, 8 * 128)
+    assert int((blocks[1] >= 0).sum()) == 1
+    assert int(stats[2]) > 1  # tail drain is harmless: no spurious flag
+
+
+def test_encode_replay_pallas_recompacts_drained_interior_blocks():
+    # Chained doubling merges drain whole blocks to 1 token and then to 0
+    # (kill-first carry across the block edge); the replay path must
+    # re-establish a global prefix when that happens, or later merges
+    # spanning the gap are silently skipped (round-3 advisor finding).
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    B = 256 * 128  # merge kernel block (default block_rows)
+    data = b"a" * (2 * B) + b"cd" * 64
+    merges = [(97, 97, 256)]
+    for i in range(15):  # 2*B = 2^16 a's -> one token after 16 doublings
+        merges.append((256 + i, 256 + i, 257 + i))
+    merges.append((271, 99, 272))  # the cross-gap pair (A16, 'c')
+    marr = jnp.asarray(np.asarray(merges, np.int32))
+
+    arr, _ = core.pad_tokens(data, 3 * B)
+    with pltpu.force_tpu_interpret_mode():
+        out, length = core.encode_replay(arr, marr, use_pallas=True)
+    got = np.asarray(out)[: int(length)].tolist()
+
+    import zigbpe_tpu.models.oracle as oracle
+
+    want = oracle.encode(data, merges)
+    assert got == want
+    assert got[0] == 272  # the cross-gap merge actually fired

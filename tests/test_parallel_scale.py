@@ -107,3 +107,29 @@ def test_dp_checkpoint_stream_matches_replay(mesh8, tmp_path):
                 checkpoint_dir=str(d), checkpoint_every_chunks=2)
     merges, ids, _, _ = ckpt.load(d)
     assert ids.tolist() == oracle.encode(data, merges)
+
+
+def test_sharded_ub_init_subblocked_matches_unsharded(mesh8):
+    # sub-blocked row histograms (the int32-overflow guard for Rl*V >= 2^31)
+    # must produce the identical table as one-shot rows; exercised with a
+    # tiny sub_rows so several sub-blocks run per row block
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    data = bytes(rng.integers(0, 256, 3000, dtype=np.uint8))
+    V, D = 264, mesh8.devices.size
+    Vp = -(-V // D) * D
+    tokens = dp.shard_corpus(data, mesh8)
+    whole = dp._init_ub_sharded_jit(
+        tokens, vocab_size=V, rows_per_shard=Vp // D, max_row=256, mesh=mesh8
+    )
+    subbed = dp._init_ub_sharded_jit(
+        tokens, vocab_size=V, rows_per_shard=Vp // D, max_row=256, mesh=mesh8,
+        sub_rows=5,
+    )
+    assert np.array_equal(np.asarray(whole), np.asarray(subbed))
+    # ground truth: dense histogram of the byte stream
+    ids = np.frombuffer(data, np.uint8).astype(np.int64)
+    want = np.zeros((Vp, V), np.int32)
+    np.add.at(want, (ids[:-1], ids[1:]), 1)
+    assert np.array_equal(np.asarray(whole), want)

@@ -166,9 +166,16 @@ class BasicTokenizer:
             self._device_merges = jnp.asarray(np.asarray(self.merges, dtype=np.int32))
         from ..ops import pallas as pallas_pkg
 
-        L = row_length or max(
-            _encode_capacity(max((len(d) for d in docs), default=1)), 1024
-        )
+        if row_length:
+            L = row_length
+        else:
+            # Tight power-of-two capacity; the Pallas encode kernel needs
+            # >= 8 rows (1024 lanes), so the floor applies only when the
+            # kernel will actually run — the XLA fallback keeps the tight
+            # capacity instead of padding short-doc batches up to 16x.
+            L = _encode_capacity(max((len(d) for d in docs), default=1))
+            if pallas_pkg.encode_kernel_supported(max(L, 1024)):
+                L = max(L, 1024)
         tokens, _ = eb.pad_batch(docs, L)
         out, lengths = _encode_batch_jit(pallas_pkg.encode_kernel_supported(L))(
             tokens, self._device_merges

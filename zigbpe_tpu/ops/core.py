@@ -528,7 +528,16 @@ def encode_replay(tokens: jax.Array, merges: jax.Array, use_pallas: bool = False
 
         def do(t):
             if use_pallas:
-                out, _ = pallas_merge.merge_pass_pallas(t, ta, tb, new_id)
+                out, stats = pallas_merge.merge_pass_pallas(t, ta, tb, new_id)
+                # Layout contract (ops/pallas/merge.py): an interior block
+                # drained to <= 1 token may break next-block adjacency
+                # peeking on the following pass; re-establish a global
+                # prefix (a valid block-local layout) before continuing.
+                # The trainers do the same via their needs_compact flag.
+                out = jax.lax.cond(
+                    stats[2] <= 1, lambda x: compact_stream(x)[0],
+                    lambda x: x, out,
+                )
             else:
                 out, _ = merge_pass(t, ta, tb, new_id)
             return out

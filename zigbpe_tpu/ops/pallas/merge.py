@@ -28,7 +28,9 @@ Block-local invariants the trainers maintain:
   empty interior block would break next-block adjacency peeking). A merge
   round can empty a block only if the block entered it with < 2 tokens, so
   the kernel reports ``min_kept`` (the smallest post-round population of any
-  non-empty input block) and the trainer globally recompacts when it drops
+  INTERIOR non-empty input block — the last non-empty block has no valid
+  successor and is excluded, so a legitimately small tail block never
+  triggers) and the trainer globally recompacts when it drops
   to <= 1 — for text-like corpora this effectively never fires, because the
   shrink schedule recompacts long before any block drains.
 * Within a block, valid positions are exactly [0, L): a token's logical
@@ -226,9 +228,10 @@ def _merge_kernel(
         carry[2] = 0        # logical rank offset (sum of earlier block pops)
         carry[3] = 0        # total hits
         carry[4] = 0        # total kept (new logical length)
-        carry[5] = 0x7FFFFFFF  # min kept over non-empty input blocks
+        carry[5] = 0x7FFFFFFF  # min kept over INTERIOR non-empty blocks
         carry[6] = 0        # copy in flight on obuf slot 0?
         carry[7] = 0        # copy in flight on obuf slot 1?
+        carry[8] = 0x7FFFFFFF  # kept of the previous non-empty block
 
     a = scalars[0]
     b = scalars[1]
@@ -321,7 +324,11 @@ def _merge_kernel(
             store_block(written)
 
         # carries: parity rank (non-candidates only), edge-hit kill-first,
-        # rank offset, totals, min population
+        # rank offset, totals, min population. min_kept folds the PREVIOUS
+        # non-empty block's population (deferred one block), so the LAST
+        # non-empty block — which has no valid successor and therefore
+        # cannot break adjacency peeking — is never counted; a legitimate
+        # small tail block does not trigger spurious recompaction.
         carry[0] = jnp.maximum(
             carry[0], jnp.max(jnp.where(cand | (rank >= carry[2] + L), NEG, rank))
         )
@@ -329,7 +336,8 @@ def _merge_kernel(
         carry[2] = carry[2] + L
         carry[3] = carry[3] + nhits_blk
         carry[4] = carry[4] + kept
-        carry[5] = jnp.minimum(carry[5], kept)
+        carry[5] = jnp.minimum(carry[5], carry[8])
+        carry[8] = kept
 
     @pl.when(i == G - 1)
     def _finish():
@@ -399,7 +407,7 @@ def merge_pass_pallas(
         scratch_shapes=[
             pltpu.VMEM((R, LANES), jnp.int32),
             pltpu.VMEM((2 * R, LANES), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((9,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

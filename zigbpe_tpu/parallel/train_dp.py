@@ -397,38 +397,54 @@ def _init_ub_jit(tokens, *, vocab_size, mesh):
 
 
 def init_ub_sharded_dp(tokens, *, vocab_size: int, rows_per_shard: int,
-                       max_row: int):
+                       max_row: int, sub_rows: Optional[int] = None):
     """Row-sharded ub init computed on device: for each row block q, every
     shard histograms its local pairs restricted to first-token rows
     [q*Rl, (q+1)*Rl) and the psum lands on shard q. Row blocks at or above
     ``max_row`` are skipped entirely — a fresh byte corpus only populates
-    rows < 256, so its init is a single psum. Runs inside shard_map."""
+    rows < 256, so its init is a single psum. Runs inside shard_map.
+
+    Row blocks are histogrammed in sub-blocks of at most ``sub`` rows so
+    the flat scatter id ``(a - r0) * V + b`` stays within int32 — with few
+    shards and a large vocab, Rl * V can reach 2^31 (e.g. D=1 at
+    V > 46340), where the id would overflow negative and scatter-drop,
+    silently producing an unsound (too low) upper-bound table."""
     V = vocab_size
     Rl = rows_per_shard
     D = jax.lax.axis_size(AXIS)
     d = jax.lax.axis_index(AXIS)
     a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
     out = jnp.zeros((Rl, V), jnp.int32)
+    sub = sub_rows or min(Rl, max(1, (2**31 - 1) // V - 1))
     for q in range(D):
         r0 = q * Rl
         if r0 >= max_row:
             continue
-        sel = pair_valid & (a >= r0) & (a < r0 + Rl)
-        pid = jnp.where(sel, (a - r0) * V + b, Rl * V)
-        hist = jnp.zeros((Rl * V,), jnp.int32).at[pid].add(1, mode="drop")
-        hist = jax.lax.psum(hist, AXIS)
-        out = jnp.where(d == q, hist.reshape(Rl, V), out)
+        parts = []
+        for s0 in range(0, Rl, sub):
+            rs = min(sub, Rl - s0)
+            if r0 + s0 >= max_row:
+                parts.append(jnp.zeros((rs, V), jnp.int32))
+                continue
+            sel = pair_valid & (a >= r0 + s0) & (a < r0 + s0 + rs)
+            pid = jnp.where(sel, (a - (r0 + s0)) * V + b, rs * V)
+            hist = jnp.zeros((rs * V,), jnp.int32).at[pid].add(1, mode="drop")
+            parts.append(jax.lax.psum(hist, AXIS).reshape(rs, V))
+        block = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        out = jnp.where(d == q, block, out)
     return out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vocab_size", "rows_per_shard", "max_row", "mesh")
+    jax.jit,
+    static_argnames=("vocab_size", "rows_per_shard", "max_row", "mesh", "sub_rows"),
 )
-def _init_ub_sharded_jit(tokens, *, vocab_size, rows_per_shard, max_row, mesh):
+def _init_ub_sharded_jit(tokens, *, vocab_size, rows_per_shard, max_row, mesh,
+                         sub_rows=None):
     fn = jax.shard_map(
         functools.partial(
             init_ub_sharded_dp, vocab_size=vocab_size,
-            rows_per_shard=rows_per_shard, max_row=max_row,
+            rows_per_shard=rows_per_shard, max_row=max_row, sub_rows=sub_rows,
         ),
         mesh=mesh,
         in_specs=(P(AXIS),),
