@@ -74,11 +74,16 @@ def main():
         """Selection-only: pops+verify+ub maintenance, merge stubbed (the
         found bin is zeroed so the loop advances; corpus never changes)."""
         def body(k, state):
-            u, acc = state
-            ta, tb, cnt, u = core.select_top_pair_lazy(u, toks, V)
+            u, rm, acc = state
+            ta, tb, cnt, u, rm = core.select_top_pair_lazy(u, toks, V, rowmax=rm)
             u = u.reshape(V, V).at[ta, tb].set(0).reshape(V * V)
-            return (u, acc + cnt)
-        u, acc = jax.lax.fori_loop(0, rounds, body, (ub, jnp.int32(0)))
+            rm = rm.at[ta].set(
+                jnp.max(jax.lax.dynamic_slice(u.reshape(V, V), (ta, 0), (1, V)))
+            )
+            return (u, rm, acc + cnt)
+        u, rm, acc = jax.lax.fori_loop(
+            0, rounds, body, (ub, core.rowmax_of(ub, V), jnp.int32(0))
+        )
         return u, acc
 
     def timeit(name, fn, n=3):

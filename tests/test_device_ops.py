@@ -173,15 +173,26 @@ def test_select_top_pair_lazy_matches_sorted():
     ub = core.pair_histogram(arr, V)
     # exact ub: one pop, same answer as the sort path
     sa, sb, sc = core.select_top_pair_sorted(arr, V)
-    la, lb, lc, _ = core.select_top_pair_lazy(ub, arr, V)
+    la, lb, lc, _, _ = core.select_top_pair_lazy(ub, arr, V)
     assert (int(la), int(lb), int(lc)) == (int(sa), int(sb), int(sc))
     # stale ub (inflated counts elsewhere): pops must still find the truth
     stale = ub.at[5 * V + 7].set(10**6).at[200 * V + 3].set(10**6)
-    la, lb, lc, ub2 = core.select_top_pair_lazy(stale, arr, V)
+    la, lb, lc, ub2, rm2 = core.select_top_pair_lazy(stale, arr, V)
     assert (int(la), int(lb), int(lc)) == (int(sa), int(sb), int(sc))
     # the popped stale bins were corrected to exact values
     assert int(ub2[5 * V + 7]) == int(core.count_pair(arr, 5, 7))
     assert int(ub2[200 * V + 3]) == int(core.count_pair(arr, 200, 3))
+    # the returned row cache is the exact per-row max of the returned table
+    assert np.asarray(rm2).tolist() == np.asarray(
+        core.rowmax_of(ub2, V)
+    ).tolist()
+    # a caller-supplied stale-but-sound rowmax (entries only ever
+    # overestimate) must still converge to the same answer
+    rm_stale = core.rowmax_of(stale, V)
+    la, lb, lc, _, _ = core.select_top_pair_lazy(
+        stale, arr, V, rowmax=rm_stale
+    )
+    assert (int(la), int(lb), int(lc)) == (int(sa), int(sb), int(sc))
 
 
 def test_train_chunk_lazy_matches_oracle():

@@ -280,54 +280,130 @@ def xrow_counts(tokens: jax.Array, x, vocab_size: int, chunk: int = 1 << 15):
     return row, col
 
 
+def rowmax_of(ub: jax.Array, vocab_size: int) -> jax.Array:
+    """Exact per-row maximum of the flat V*V upper-bound table — the pop
+    cache consumed by select_top_pair_lazy."""
+    V = vocab_size
+    return jnp.max(ub.reshape(V, V), axis=1)
+
+
 def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
-                         batch: int = 8, layout_block: int | None = None):
+                         batch: int = 8, layout_block: int | None = None,
+                         rowmax: jax.Array | None = None):
     """Lazy-heap argmax: pop the ``batch`` largest entries of the stale
     upper-bound table ``ub``, verify them ALL with one exact corpus pass,
     and repeat until the table's argmax is a verified entry. Returns
-    (first, second, count, ub').
+    (first, second, count, ub', rowmax').
 
     Soundness: every ub entry is >= the true live count (merging (a,b)->X
     only DECREASES counts of bins not involving X, and X bins are re-bounded
     each round), so once the argmax of ub is exact it is the true argmax.
-    The argmax order (max count, then max pair-id) realises the documented
-    tie-break (SURVEY.md §2.3.3). Batching matters: a verify pass streams
-    the whole corpus, so verifying the top-8 costs barely more than the
-    top-1, and stale rounds need several corrections.
+    The argmax order (max count, then max first, then max second) realises
+    the documented tie-break (SURVEY.md §2.3.3). Batching matters: a verify
+    pass streams the whole corpus, so verifying the top-8 costs barely more
+    than the top-1, and stale rounds need several corrections.
+
+    ``rowmax`` is the exact per-row max of ub (rowmax_of). With it, each pop
+    reads O(V) — argmax over rowmax picks the row, one row slice picks the
+    column — instead of O(V^2) over the whole table; this is what keeps the
+    per-round cost flat once the corpus has shrunk (the V^2 table would
+    otherwise dominate: 8 pops x 2 full-table reductions = ~100 MB of HBM
+    reads per round at vocab 1280). Computed from ub when not supplied.
     """
     V = vocab_size
-    ids = jax.lax.broadcasted_iota(jnp.int32, ub.shape, 0)
-    a, b = pair_streams(tokens, layout_block)
-    pid_stream = jnp.where(b >= 0, a * V + b, -1)
+    u2 = ub.reshape(V, V)
+    if rowmax is None:
+        rowmax = jnp.max(u2, axis=1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
+    col_iota = row_iota
+    sa, sb = pair_streams(tokens, layout_block)
+    svalid = sb >= 0
 
     def round_(state):
-        u, _, _, _ = state
-        # top-`batch` bins by (count, pid) via iterated argmax + mask
-        masked = u
-        pids = []
-        for _ in range(batch):
-            c = jnp.max(masked)
-            pid = jnp.max(jnp.where(masked == c, ids, -1))
-            pids.append(pid)
-            masked = masked.at[pid].set(-1)
-        pids = jnp.stack(pids)
-        # one corpus pass verifies all of them exactly
-        exact = jnp.stack(
-            [jnp.sum((pid_stream == p).astype(jnp.int32)) for p in pids]
-        )
-        u = u.at[pids].set(exact)
-        c2 = jnp.max(u)
-        pid2 = jnp.max(jnp.where(u == c2, ids, -1))
-        verified = jnp.any(pids == pid2) | (c2 == 0)
-        return u, pid2, c2, verified
+        u2, rm, _, _, _, _ = state
+        # top-`batch` bins by (count, first, second): argmax over the row
+        # cache picks the row, a row slice picks the column. Popped entries
+        # are excluded via the (tiny) popped list, never by writing the
+        # V^2 table.
+        pa = jnp.full((batch,), -1, jnp.int32)
+        pb = jnp.full((batch,), -1, jnp.int32)
+        rm_t = rm
+        for j in range(batch):
+            c = jnp.max(rm_t)
+            a = jnp.max(jnp.where(rm_t == c, row_iota, -1))
+            row = jax.lax.dynamic_slice(u2, (a, 0), (1, V))[0]
+            for jj in range(j):  # mask already-popped entries of this row
+                row = jnp.where((pa[jj] == a) & (col_iota == pb[jj]), -1, row)
+            b = jnp.max(jnp.where(row == c, col_iota, -1))
+            pa = pa.at[j].set(a)
+            pb = pb.at[j].set(b)
+            row = jnp.where(col_iota == b, -1, row)
+            rm_t = rm_t.at[a].set(jnp.max(row))
+        # one corpus pass verifies all of them exactly (the `batch` masked
+        # reductions over the same streams fuse into one traversal)
+        exact = [
+            jnp.sum(((sa == pa[j]) & (sb == pb[j]) & svalid).astype(jnp.int32))
+            for j in range(batch)
+        ]
+        for j in range(batch):
+            u2 = jax.lax.dynamic_update_slice(
+                u2, exact[j].reshape(1, 1), (pa[j], pb[j])
+            )
+        # exact rowmax refresh for the (<= batch) touched rows
+        for j in range(batch):
+            row = jax.lax.dynamic_slice(u2, (pa[j], 0), (1, V))[0]
+            rm = rm.at[pa[j]].set(jnp.max(row))
+        c2 = jnp.max(rm)
+        a2 = jnp.max(jnp.where(rm == c2, row_iota, -1))
+        row2 = jax.lax.dynamic_slice(u2, (a2, 0), (1, V))[0]
+        b2 = jnp.max(jnp.where(row2 == c2, col_iota, -1))
+        verified = jnp.any((pa == a2) & (pb == b2)) | (c2 == 0)
+        return u2, rm, a2, b2, c2, verified
 
     def cond(state):
-        _, _, _, verified = state
-        return ~verified
+        return ~state[-1]
 
-    state = round_((ub, jnp.int32(-1), jnp.int32(0), jnp.bool_(False)))
-    ub, pid, c, _ = jax.lax.while_loop(cond, round_, state)
-    return pid // V, pid % V, c, ub
+    state = round_(
+        (u2, rowmax, jnp.int32(-1), jnp.int32(-1), jnp.int32(0), jnp.bool_(False))
+    )
+    u2, rm, a, b, c, _ = jax.lax.while_loop(cond, round_, state)
+    return a, b, c, u2.reshape(V * V), rm
+
+
+def update_ub_after_merge(ub: jax.Array, rowmax: jax.Array, ta, tb, new_id,
+                          nhits, vocab_size: int):
+    """Per-round upper-bound maintenance after merging (ta, tb) -> new_id.
+
+    Bounds for the new token's pairs derive from ub itself — no corpus
+    pass: every new (X, v) pair sits where an old (b, v) pair was (X ends
+    with b), and every (v, X) where an old (v, a) was, so row b / column a
+    of ub bound them; nhits (= #X tokens) caps both. Reads happen BEFORE
+    zeroing the merged bin: for a == b the old (a, a) count legitimately
+    bounds (X, a) (``aaa -> [X, a]``). (X, X) sits where an old (b, a)
+    pair was, so that bin bounds it.
+
+    The rowmax cache stays exact at O(V): column new_id rose from zero
+    (fresh token) so a vector max covers every untouched row; the two rows
+    that changed in other columns (ta lost its (ta, tb) bin, new_id was
+    written wholesale) are refreshed from the final table.
+
+    Returns (ub', rowmax').
+    """
+    V = vocab_size
+    u2 = ub.reshape(V, V)
+    row_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (tb, 0), (1, V)), nhits)
+    col_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (0, ta), (V, 1)), nhits)
+    xx_bound = jnp.minimum(u2[tb, ta], nhits)
+    u2 = u2.at[ta, tb].set(0)  # all (a, b) pairs were consumed
+    u2 = jax.lax.dynamic_update_slice(u2, row_bound, (new_id, 0))
+    u2 = jax.lax.dynamic_update_slice(u2, col_bound, (0, new_id))
+    u2 = u2.at[new_id, new_id].set(xx_bound)
+    rm = jnp.maximum(rowmax, col_bound[:, 0])
+    row_ta = jax.lax.dynamic_slice(u2, (ta, 0), (1, V))[0]
+    rm = rm.at[ta].set(jnp.max(row_ta))
+    row_new = jax.lax.dynamic_slice(u2, (new_id, 0), (1, V))[0]
+    rm = rm.at[new_id].set(jnp.max(row_new))
+    return u2.reshape(V * V), rm
 
 
 def greedy_hits(tokens: jax.Array, first, second) -> jax.Array:
@@ -465,13 +541,13 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
         lb = None
 
     def cond(state):
-        toks, L, u, mg, occ, k, flag = state
+        toks, L, u, rm, mg, occ, k, flag = state
         return (k < target) & (L >= 2) & (flag == 0)
 
     def body(state):
-        toks, L, u, mg, occ, k, flag = state
-        ta, tb, cnt, u = select_top_pair_lazy(
-            u, toks, V, batch=select_batch, layout_block=lb
+        toks, L, u, rm, mg, occ, k, flag = state
+        ta, tb, cnt, u, rm = select_top_pair_lazy(
+            u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm
         )
         new_id = VOCAB_START + k
         if use_pallas:
@@ -481,30 +557,18 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
         else:
             hits = greedy_hits(toks, ta, tb)
             toks, nhits = apply_hits(toks, hits, new_id)
-        # Bounds for the new token's pairs, derived from ub itself — no
-        # corpus pass: every new (X, v) pair sits where an old (b, v) pair
-        # was (X ends with b), and every (v, X) where an old (v, a) was,
-        # so row b / column a of ub bound them; nhits (= #X tokens) caps
-        # both. Read BEFORE zeroing the merged bin: for a == b the old
-        # (a, a) count legitimately bounds (X, a) (``aaa -> [X, a]``).
-        u2 = u.reshape(V, V)
-        row_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (tb, 0), (1, V)), nhits)
-        col_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (0, ta), (V, 1)), nhits)
-        # (X, X) sits where an old (b, a) pair was, not (b, X)/(X, a)
-        xx_bound = jnp.minimum(u2[tb, ta], nhits)
-        u2 = u2.at[ta, tb].set(0)  # all (a, b) pairs were consumed
-        u2 = jax.lax.dynamic_update_slice(u2, row_bound, (new_id, 0))
-        u2 = jax.lax.dynamic_update_slice(u2, col_bound, (0, new_id))
-        u2 = u2.at[new_id, new_id].set(xx_bound)
-        u = u2.reshape(V * V)
+        u, rm = update_ub_after_merge(u, rm, ta, tb, new_id, nhits, V)
         mg = mg.at[k].set(jnp.stack([ta, tb, new_id]))
         occ = occ.at[k].set(cnt)
-        return toks, L - nhits, u, mg, occ, k + 1, flag
+        return toks, L - nhits, u, rm, mg, occ, k + 1, flag
 
-    return jax.lax.while_loop(
+    rowmax0 = rowmax_of(ub, V)
+    toks, L, u, _, mg, occ, k, flag = jax.lax.while_loop(
         cond, body,
-        (tokens, length, ub, merges, occupancy, num_merges, jnp.int32(0)),
+        (tokens, length, ub, rowmax0, merges, occupancy, num_merges,
+         jnp.int32(0)),
     )
+    return toks, L, u, mg, occ, k, flag
 
 
 def encode_replay(tokens: jax.Array, merges: jax.Array, use_pallas: bool = False):

@@ -79,13 +79,18 @@ def _compact_jit(tokens):
 # --- instrumented per-round path (reference-taxonomy phase observability:
 # the reference times sort / replace / generate-pairs / count-pairs per
 # call, utils/time_statistics.zig:36-60; the fused chunk loop hides that
-# split, so --time-stats-detailed trades per-round host syncs for it) ---
+# split, so --time-stats-detailed trades per-round host syncs for it).
+# The instrumented loop runs the SAME algorithms as the production chunk
+# loop — lazy pop/verify selection (with the sorted path only where
+# production itself would fall back) and the same merge/compaction — so
+# the reported split describes production training. ---
 
 
-@functools.partial(jax.jit, static_argnames=("vocab_size", "layout_block"))
-def _select_round_jit(tokens, ub, *, vocab_size, layout_block):
+@functools.partial(jax.jit, static_argnames=("vocab_size", "layout_block"),
+                   donate_argnums=(1, 2))
+def _select_round_jit(tokens, ub, rowmax, *, vocab_size, layout_block):
     return core.select_top_pair_lazy(
-        ub, tokens, vocab_size, layout_block=layout_block
+        ub, tokens, vocab_size, layout_block=layout_block, rowmax=rowmax
     )
 
 
@@ -107,27 +112,48 @@ def _merge_round_jit(tokens, ta, tb, new_id, *, use_pallas):
     return toks, nhits, jnp.int32(2)
 
 
+@functools.partial(jax.jit, static_argnames=("vocab_size",),
+                   donate_argnums=(0, 1))
+def _ub_maint_jit(ub, rowmax, ta, tb, new_id, nhits, *, vocab_size):
+    return core.update_ub_after_merge(
+        ub, rowmax, ta, tb, new_id, nhits, vocab_size
+    )
+
+
 def _train_device_instrumented(
     tokens, length_host: int, vocab_size: int, start_merges, capacity: int,
     stats: TimeStats, verbose: bool, shrink: bool,
 ) -> List[Merge]:
     """Per-round loop with per-phase device timing in the reference's
-    taxonomy (sort / replace; utils/time_statistics.zig:36-60): selection
-    is the exact per-round sort (like the reference's sortCodePointPairs)
-    and each phase ends with a host sync, so the split is real device time
-    — at ~2 syncs of tunnel latency per round."""
+    taxonomy (sort / replace; utils/time_statistics.zig:36-60), running
+    the production algorithms: lazy pop/verify selection + bound
+    maintenance under ``sort_pairs``, fused merge/compaction under
+    ``replace_pairs``. Each phase ends with a host sync, so the split is
+    real device time — at ~2 syncs of tunnel latency per round."""
     from .ops import pallas as pallas_pkg
     from .ops.pallas import BLOCK
 
     M = vocab_size - core.VOCAB_START
     merges: List[Merge] = list(start_merges)
+    lazy = vocab_size <= LAZY_VOCAB_MAX
+    ub = rowmax = None
+    if lazy:
+        with stats.phase("count_pairs"):
+            ub = _init_ub(tokens, vocab_size=vocab_size)
+            rowmax = core.rowmax_of(ub, vocab_size)
+            np.asarray(rowmax[0])
     while len(merges) < M and length_host >= 2:
         use_pallas = pallas_pkg.merge_kernel_supported(capacity)
         lb = BLOCK if use_pallas else None
         with stats.phase("sort_pairs"):
-            ta, tb, cnt = _select_round_sorted_jit(
-                tokens, vocab_size=vocab_size, layout_block=lb
-            )
+            if lazy:
+                ta, tb, cnt, ub, rowmax = _select_round_jit(
+                    tokens, ub, rowmax, vocab_size=vocab_size, layout_block=lb
+                )
+            else:
+                ta, tb, cnt = _select_round_sorted_jit(
+                    tokens, vocab_size=vocab_size, layout_block=lb
+                )
             pair = np.asarray(jnp.stack([ta, tb, cnt]))
         if int(pair[2]) == 0:
             break
@@ -138,6 +164,14 @@ def _train_device_instrumented(
                 jnp.int32(new_id), use_pallas=use_pallas,
             )
             nk = np.asarray(jnp.stack([nhits, min_kept]))
+        if lazy:
+            with stats.phase("sort_pairs"):
+                ub, rowmax = _ub_maint_jit(
+                    ub, rowmax, jnp.int32(int(pair[0])),
+                    jnp.int32(int(pair[1])), jnp.int32(new_id),
+                    jnp.int32(int(nk[0])), vocab_size=vocab_size,
+                )
+                np.asarray(rowmax[0])
         merges.append((int(pair[0]), int(pair[1]), new_id))
         length_host -= int(nk[0])
         if verbose:
