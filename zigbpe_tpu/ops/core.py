@@ -317,7 +317,14 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
     col_iota = row_iota
     sa, sb = pair_streams(tokens, layout_block)
-    svalid = sb >= 0
+    # verify compares against ONE packed stream when V*V fits int32 (one
+    # corpus-sized read per verify iteration instead of two); component
+    # compare past that (u16 cap is 65536 > 46341)
+    packed = V * V < 2**31
+    if packed:
+        pid_stream = jnp.where(sb >= 0, sa * V + sb, -1)
+    else:
+        svalid = sb >= 0
 
     def round_(state):
         u2, rm, _, _, _, _ = state
@@ -340,11 +347,19 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
             row = jnp.where(col_iota == b, -1, row)
             rm_t = rm_t.at[a].set(jnp.max(row))
         # one corpus pass verifies all of them exactly (the `batch` masked
-        # reductions over the same streams fuse into one traversal)
-        exact = [
-            jnp.sum(((sa == pa[j]) & (sb == pb[j]) & svalid).astype(jnp.int32))
-            for j in range(batch)
-        ]
+        # reductions over the same stream fuse into one traversal)
+        if packed:
+            exact = [
+                jnp.sum((pid_stream == pa[j] * V + pb[j]).astype(jnp.int32))
+                for j in range(batch)
+            ]
+        else:
+            exact = [
+                jnp.sum(
+                    ((sa == pa[j]) & (sb == pb[j]) & svalid).astype(jnp.int32)
+                )
+                for j in range(batch)
+            ]
         for j in range(batch):
             u2 = jax.lax.dynamic_update_slice(
                 u2, exact[j].reshape(1, 1), (pa[j], pb[j])
