@@ -193,6 +193,20 @@ def test_select_top_pair_lazy_matches_sorted():
         stale, arr, V, rowmax=rm_stale
     )
     assert (int(la), int(lb), int(lc)) == (int(sa), int(sb), int(sc))
+    # genuinely INFLATED rowmax entries (no matching column in the row):
+    # the pop must fall back to the row's true argmax, never wrap b=-1
+    rm_inflated = rm_stale.at[17].set(10**6).at[int(sa)].set(10**6)
+    la, lb, lc, ub3, rm3 = core.select_top_pair_lazy(
+        stale, arr, V, rowmax=rm_inflated
+    )
+    assert (int(la), int(lb), int(lc)) == (int(sa), int(sb), int(sc))
+    # no bin was corrupted by a wrapped write: the table is still a sound
+    # upper bound everywhere, and the returned row cache is exact
+    hist2 = np.asarray(core.pair_histogram(arr, V)).reshape(V, V)
+    assert (np.asarray(ub3).reshape(V, V) >= hist2).all()
+    assert np.asarray(rm3).tolist() == np.asarray(
+        core.rowmax_of(ub3, V)
+    ).tolist()
 
 
 def test_train_chunk_lazy_matches_oracle():

@@ -24,13 +24,16 @@ def _configure_compile_cache() -> None:
     try:
         import jax
 
-        cache = _os.environ.get(
-            "ZIGBPE_COMPILE_CACHE",
-            _os.path.join(
+        cache = _os.environ.get("ZIGBPE_COMPILE_CACHE")
+        if cache is None:
+            # respect a cache dir the host application configured before
+            # importing this package; only install the default when unset
+            if jax.config.jax_compilation_cache_dir is not None:
+                return
+            cache = _os.path.join(
                 _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
                 "zigbpe_jax",
-            ),
-        )
+            )
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

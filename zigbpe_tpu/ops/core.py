@@ -289,7 +289,8 @@ def rowmax_of(ub: jax.Array, vocab_size: int) -> jax.Array:
 
 def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
                          batch: int = 8, layout_block: int | None = None,
-                         rowmax: jax.Array | None = None):
+                         rowmax: jax.Array | None = None,
+                         count_fn=None):
     """Lazy-heap argmax: pop the ``batch`` largest entries of the stale
     upper-bound table ``ub``, verify them ALL with one exact corpus pass,
     and repeat until the table's argmax is a verified entry. Returns
@@ -309,6 +310,10 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
     per-round cost flat once the corpus has shrunk (the V^2 table would
     otherwise dominate: 8 pops x 2 full-table reductions = ~100 MB of HBM
     reads per round at vocab 1280). Computed from ub when not supplied.
+
+    ``count_fn(pa, pb) -> int32[batch]`` overrides the exact-count pass —
+    the data-parallel trainer supplies a shard-local count + psum so the
+    same pop machinery runs replicated over a mesh (parallel.train_dp).
     """
     V = vocab_size
     u2 = ub.reshape(V, V)
@@ -316,15 +321,27 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
         rowmax = jnp.max(u2, axis=1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
     col_iota = row_iota
-    sa, sb = pair_streams(tokens, layout_block)
-    # verify compares against ONE packed stream when V*V fits int32 (one
-    # corpus-sized read per verify iteration instead of two); component
-    # compare past that (u16 cap is 65536 > 46341)
-    packed = V * V < 2**31
-    if packed:
-        pid_stream = jnp.where(sb >= 0, sa * V + sb, -1)
-    else:
-        svalid = sb >= 0
+    if count_fn is None:
+        sa, sb = pair_streams(tokens, layout_block)
+        # verify compares against ONE packed stream when V*V fits int32 (one
+        # corpus-sized read per verify iteration instead of two); component
+        # compare past that (u16 cap is 65536 > 46341)
+        packed = V * V < 2**31
+        if packed:
+            pid_stream = jnp.where(sb >= 0, sa * V + sb, -1)
+        else:
+            svalid = sb >= 0
+
+        def count_fn(pa, pb):
+            if packed:
+                return jnp.stack([
+                    jnp.sum((pid_stream == pa[j] * V + pb[j]).astype(jnp.int32))
+                    for j in range(batch)
+                ])
+            return jnp.stack([
+                jnp.sum(((sa == pa[j]) & (sb == pb[j]) & svalid).astype(jnp.int32))
+                for j in range(batch)
+            ])
 
     def round_(state):
         u2, rm, _, _, _, _ = state
@@ -341,25 +358,19 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
             row = jax.lax.dynamic_slice(u2, (a, 0), (1, V))[0]
             for jj in range(j):  # mask already-popped entries of this row
                 row = jnp.where((pa[jj] == a) & (col_iota == pb[jj]), -1, row)
-            b = jnp.max(jnp.where(row == c, col_iota, -1))
+            # pop the row's TRUE argmax column (always >= 0), not the column
+            # equal to the cached max: a stale-high rowmax entry (allowed by
+            # the overestimate contract) would otherwise find no match and
+            # wrap b=-1 into column V-1 via dynamic_update_slice
+            rmax = jnp.max(row)
+            b = jnp.max(jnp.where(row == rmax, col_iota, -1))
             pa = pa.at[j].set(a)
             pb = pb.at[j].set(b)
             row = jnp.where(col_iota == b, -1, row)
             rm_t = rm_t.at[a].set(jnp.max(row))
         # one corpus pass verifies all of them exactly (the `batch` masked
         # reductions over the same stream fuse into one traversal)
-        if packed:
-            exact = [
-                jnp.sum((pid_stream == pa[j] * V + pb[j]).astype(jnp.int32))
-                for j in range(batch)
-            ]
-        else:
-            exact = [
-                jnp.sum(
-                    ((sa == pa[j]) & (sb == pb[j]) & svalid).astype(jnp.int32)
-                )
-                for j in range(batch)
-            ]
+        exact = count_fn(pa, pb)
         for j in range(batch):
             u2 = jax.lax.dynamic_update_slice(
                 u2, exact[j].reshape(1, 1), (pa[j], pb[j])

@@ -115,42 +115,28 @@ def init_ub_dp(tokens, *, vocab_size: int):
     return jax.lax.psum(hist, AXIS)
 
 
-def _dp_select_lazy(ub, tokens, *, vocab_size: int, batch: int = 8):
-    """Lazy batch-verified selection across shards: ub is replicated (every
-    shard computes the identical pop sequence); exact verification counts
-    are integer psums of shard-local counts — deterministic, so the
-    argmax + tie-break is bit-stable for any device count (SURVEY.md §7
-    hard part 2)."""
+def _dp_select_lazy(ub, rowmax, tokens, *, vocab_size: int, batch: int = 8):
+    """Lazy batch-verified selection across shards: ub (and its rowmax pop
+    cache) is replicated — every shard computes the identical pop sequence
+    via ops.core.select_top_pair_lazy, with the exact-count pass overridden
+    by a shard-local count + integer psum (deterministic, so the argmax +
+    tie-break is bit-stable for any device count, SURVEY.md §7 hard part 2).
+    The rowmax cache makes each pop O(V) instead of O(V^2) table reads —
+    the same flat per-round cost the single-chip path has at deep vocabs."""
     V = vocab_size
     a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
     pid_stream = jnp.where(pair_valid, a * V + b, -1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, ub.shape, 0)
 
-    def round_(state):
-        u, _, _, _ = state
-        masked = u
-        pids = []
-        for _ in range(batch):
-            c = jnp.max(masked)
-            pid = jnp.max(jnp.where(masked == c, ids, -1))
-            pids.append(pid)
-            masked = masked.at[pid].set(-1)
-        pids = jnp.stack(pids)
-        local = jnp.stack(
-            [jnp.sum((pid_stream == p).astype(jnp.int32)) for p in pids]
-        )
-        exact = jax.lax.psum(local, AXIS)
-        u = u.at[pids].set(exact)
-        c2 = jnp.max(u)
-        pid2 = jnp.max(jnp.where(u == c2, ids, -1))
-        verified = jnp.any(pids == pid2) | (c2 == 0)
-        return u, pid2, c2, verified
+    def count_fn(pa, pb):
+        local = jnp.stack([
+            jnp.sum((pid_stream == pa[j] * V + pb[j]).astype(jnp.int32))
+            for j in range(batch)
+        ])
+        return jax.lax.psum(local, AXIS)
 
-    state = round_((ub, jnp.int32(-1), jnp.int32(0), jnp.bool_(False)))
-    ub, pid, c, _ = jax.lax.while_loop(
-        lambda s: ~s[3], round_, state
+    return core.select_top_pair_lazy(
+        ub, None, V, batch=batch, rowmax=rowmax, count_fn=count_fn
     )
-    return pid // V, pid % V, c, ub
 
 
 # --------------------------------------------------------------------------
@@ -168,15 +154,29 @@ def _owned_entry_set(u, row_g, col, val, row0):
     return jax.lax.dynamic_update_slice(u, v, (r, col))
 
 
-def _dp_select_lazy_sharded(u, tokens, *, vocab_size: int, batch: int = 8):
+def _owned_row_max_refresh(rm, u, row_g, row0):
+    """rm[row_g - row0] = max(u[row_g - row0, :]) on the shard that owns
+    global row row_g; other shards keep their entry."""
+    Rl = u.shape[0]
+    own = (row_g >= row0) & (row_g < row0 + Rl)
+    r = jnp.clip(row_g - row0, 0, Rl - 1)
+    row = jax.lax.dynamic_slice(u, (r, 0), (1, u.shape[1]))[0]
+    cur = jax.lax.dynamic_slice(rm, (r,), (1,))
+    val = jnp.where(own, jnp.max(row), cur[0])
+    return jax.lax.dynamic_update_slice(rm, val.reshape(1), (r,))
+
+
+def _dp_select_lazy_sharded(u, rm, tokens, *, vocab_size: int, batch: int = 8):
     """Lazy batch-verified selection with the ub table SHARDED BY ROWS:
-    u is the local (Vp/D, V) row block. Per pop: local argmax, then three
-    scalar pmax collectives pick the global winner lexicographically by
-    (count, first, second) => exact tie-break, and — being reductions over
-    the mesh axis — yield axis-INVARIANT scalars, so the merge table and
-    loop predicates stay replicated under shard_map's varying-axes typing.
+    u is the local (Vp/D, V) row block and rm its exact local per-row max
+    (the pop cache — each pop reads O(V) local values, not the whole
+    block). Per pop: local best via the row cache, then three scalar pmax
+    collectives pick the global winner lexicographically by (count, first,
+    second) => exact tie-break, and — being reductions over the mesh
+    axis — yield axis-INVARIANT scalars, so the merge table and loop
+    predicates stay replicated under shard_map's varying-axes typing.
     Verification is a psum of shard-local exact pair counts, written back
-    to the owning shard.
+    to the owning shard (which also refreshes its rm rows).
 
     Pair ids are kept as (first, second) component pairs throughout —
     a flat a*V+b id would overflow int32 past V=46341 (the u16 vocab cap
@@ -187,55 +187,80 @@ def _dp_select_lazy_sharded(u, tokens, *, vocab_size: int, batch: int = 8):
     row0 = d * Rl
     a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
 
-    rid = jax.lax.broadcasted_iota(jnp.int32, (Rl, V), 0)
-    cid = jax.lax.broadcasted_iota(jnp.int32, (Rl, V), 1)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (Rl,), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
 
-    def global_argmax(tab):
-        # local lexicographic argmax (rows are disjoint across shards, so
-        # the winning global row identifies a unique shard)
-        c_loc = jnp.max(tab)
-        r_loc = jnp.max(jnp.where(tab == c_loc, rid, -1))
-        c2_loc = jnp.max(jnp.where((tab == c_loc) & (rid == r_loc), cid, -1))
-        mc = jax.lax.pmax(c_loc, AXIS)
-        is_max = c_loc == mc
-        mr = jax.lax.pmax(jnp.where(is_max, row0 + r_loc, -1), AXIS)
-        ml = jax.lax.pmax(
-            jnp.where(is_max & (row0 + r_loc == mr), c2_loc, -1), AXIS
-        )
-        return mc, mr, ml
+    def masked_row(u, r_loc, fa, fb, j):
+        """Local row r_loc with entries popped earlier this round masked
+        out (the popped list is replicated, so any shard can apply it)."""
+        row = jax.lax.dynamic_slice(u, (r_loc, 0), (1, V))[0]
+        for jj in range(j):
+            row = jnp.where(
+                (fa[jj] == row0 + r_loc) & (c_iota == fb[jj]), -1, row
+            )
+        return row
 
     def round_(state):
-        u, _, _, _, _ = state
-        masked = u
-        fs, ss = [], []
-        for _ in range(batch):
-            bc, br, bl = global_argmax(masked)
-            fs.append(br)
-            ss.append(bl)
-            masked = _owned_entry_set(masked, br, bl, jnp.int32(-1), row0)
-        fa = jnp.stack(fs)
-        fb = jnp.stack(ss)
+        u, rm, _, _, _, _ = state
+        rm_t = rm
+        pa = jnp.full((batch,), -1, jnp.int32)
+        pb = jnp.full((batch,), -1, jnp.int32)
+        for j in range(batch):
+            # local best by (count, row) via the cache, column via one row
+            cl = jnp.max(rm_t)
+            rl = jnp.max(jnp.where(rm_t == cl, r_iota, -1))
+            row = masked_row(u, rl, pa, pb, j)
+            rmax = jnp.max(row)
+            bl = jnp.max(jnp.where(row == rmax, c_iota, -1))
+            # lexicographic global winner by (count, global row, col)
+            mc = jax.lax.pmax(rmax, AXIS)
+            is_max = rmax == mc
+            mr = jax.lax.pmax(jnp.where(is_max, row0 + rl, -1), AXIS)
+            ml = jax.lax.pmax(
+                jnp.where(is_max & (row0 + rl == mr), bl, -1), AXIS
+            )
+            pa = pa.at[j].set(mr)
+            pb = pb.at[j].set(ml)
+            # the owner masks the popped entry in its rm_t copy
+            own = (mr >= row0) & (mr < row0 + Rl)
+            rloc = jnp.clip(mr - row0, 0, Rl - 1)
+            orow = masked_row(u, rloc, pa, pb, j + 1)
+            cur = jax.lax.dynamic_slice(rm_t, (rloc,), (1,))
+            val = jnp.where(own, jnp.max(orow), cur[0])
+            rm_t = jax.lax.dynamic_update_slice(rm_t, val.reshape(1), (rloc,))
         local = jnp.stack(
-            [jnp.sum((pair_valid & (a == fa[i]) & (b == fb[i])).astype(jnp.int32))
+            [jnp.sum((pair_valid & (a == pa[i]) & (b == pb[i])).astype(jnp.int32))
              for i in range(batch)]
         )
         exact = jax.lax.psum(local, AXIS)
         for i in range(batch):
-            u = _owned_entry_set(u, fa[i], fb[i], exact[i], row0)
-        c2, ra, cb = global_argmax(u)
-        verified = jnp.any((fa == ra) & (fb == cb)) | (c2 <= 0)
-        return u, ra, cb, c2, verified
+            u = _owned_entry_set(u, pa[i], pb[i], exact[i], row0)
+        for i in range(batch):
+            rm = _owned_row_max_refresh(rm, u, pa[i], row0)
+        # final argmax from the (exactly refreshed) caches
+        cl = jnp.max(rm)
+        rl = jnp.max(jnp.where(rm == cl, r_iota, -1))
+        row = jax.lax.dynamic_slice(u, (rl, 0), (1, V))[0]
+        bl = jnp.max(jnp.where(row == cl, c_iota, -1))
+        mc = jax.lax.pmax(cl, AXIS)
+        is_max = cl == mc
+        ra = jax.lax.pmax(jnp.where(is_max, row0 + rl, -1), AXIS)
+        cb = jax.lax.pmax(jnp.where(is_max & (row0 + rl == ra), bl, -1), AXIS)
+        verified = jnp.any((pa == ra) & (pb == cb)) | (mc <= 0)
+        return u, rm, ra, cb, mc, verified
 
     state = round_(
-        (u, jnp.int32(-1), jnp.int32(-1), jnp.int32(0), jnp.bool_(False))
+        (u, rm, jnp.int32(-1), jnp.int32(-1), jnp.int32(0), jnp.bool_(False))
     )
-    u, ra, cb, c2, _ = jax.lax.while_loop(lambda s: ~s[4], round_, state)
-    return ra, cb, jnp.maximum(c2, 0), u
+    u, rm, ra, cb, c2, _ = jax.lax.while_loop(lambda s: ~s[5], round_, state)
+    return ra, cb, jnp.maximum(c2, 0), u, rm
 
 
-def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int,
+def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
               sharded_ub: bool):
-    """One merge round on a shard of the corpus (runs inside shard_map)."""
+    """One merge round on a shard of the corpus (runs inside shard_map).
+    ``rm`` is the rowmax pop cache for ub (local rows for the sharded
+    table, the full V rows replicated otherwise)."""
     V = vocab_size
     n = tokens.shape[0]
     D = jax.lax.axis_size(AXIS)
@@ -244,9 +269,11 @@ def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int,
     j = jnp.arange(n, dtype=jnp.int32)
 
     if sharded_ub:
-        ta, tb, cnt, ub = _dp_select_lazy_sharded(ub, tokens, vocab_size=V)
+        ta, tb, cnt, ub, rm = _dp_select_lazy_sharded(
+            ub, rm, tokens, vocab_size=V
+        )
     else:
-        ta, tb, cnt, ub = _dp_select_lazy(ub, tokens, vocab_size=V)
+        ta, tb, cnt, ub, rm = _dp_select_lazy(ub, rm, tokens, vocab_size=V)
     new_id = VOCAB_START + k
 
     a, b, pair_valid, L, G = _shard_pair_streams(tokens)
@@ -319,21 +346,21 @@ def _dp_round(tokens, ub, merges, occ, k, *, vocab_size: int,
         ub = jax.lax.dynamic_update_slice(ub, my_col[:, None], (0, new_id))
         # (X, X) sits where an old (b, a) pair was
         ub = _owned_entry_set(ub, new_id, new_id, xx_bound, row0)
+        # rowmax cache: column new_id rose from zero, so a vector max covers
+        # untouched rows; the rows changed in other columns (ta zeroed its
+        # (ta, tb) bin, new_id written wholesale) refresh at their owners
+        rm = jnp.maximum(rm, my_col)
+        rm = _owned_row_max_refresh(rm, ub, ta, row0)
+        rm = _owned_row_max_refresh(rm, ub, new_id, row0)
     else:
-        u2 = ub.reshape(V, V)
-        row_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (tb, 0), (1, V)), nhits)
-        col_bound = jnp.minimum(jax.lax.dynamic_slice(u2, (0, ta), (V, 1)), nhits)
-        xx_bound = jnp.minimum(u2[tb, ta], nhits)
-        u2 = u2.at[ta, tb].set(0)
-        u2 = jax.lax.dynamic_update_slice(u2, row_bound, (new_id, 0))
-        u2 = jax.lax.dynamic_update_slice(u2, col_bound, (0, new_id))
-        u2 = u2.at[new_id, new_id].set(xx_bound)
-        ub = u2.reshape(V * V)
+        # identical derivation to the single-chip path (including the exact
+        # O(V) rowmax maintenance) — nhits is already the global psum
+        ub, rm = core.update_ub_after_merge(ub, rm, ta, tb, new_id, nhits, V)
 
     # psum (not a host-side sum of the gathered lengths) so the total carries
     # the replicated type through the while_loop
     total_len = jax.lax.psum(jnp.sum(keep.astype(jnp.int32)), AXIS)
-    return tokens, ub, merges, occ, k + 1, total_len
+    return tokens, ub, rm, merges, occ, k + 1, total_len
 
 
 def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int,
@@ -344,20 +371,27 @@ def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int,
     M = merges.shape[0]
     target = jnp.minimum(k + max_rounds, M)
     total0 = jax.lax.psum(jnp.sum((tokens >= 0).astype(jnp.int32)), AXIS)
+    # rowmax pop cache, recomputed once per chunk (one table read amortized
+    # over max_rounds rounds) and maintained exactly inside the loop
+    if sharded_ub:
+        rm0 = jnp.max(ub, axis=1)
+    else:
+        rm0 = core.rowmax_of(ub, vocab_size)
 
     def cond(state):
-        _, _, _, _, kk, total = state
+        _, _, _, _, _, kk, total = state
         return (kk < target) & (total >= 2)
 
     def body(state):
-        toks, u, mg, oc, kk, _ = state
-        toks, u, mg, oc, kk, total = _dp_round(
-            toks, u, mg, oc, kk, vocab_size=vocab_size, sharded_ub=sharded_ub
+        toks, u, rm, mg, oc, kk, _ = state
+        toks, u, rm, mg, oc, kk, total = _dp_round(
+            toks, u, rm, mg, oc, kk, vocab_size=vocab_size,
+            sharded_ub=sharded_ub,
         )
-        return toks, u, mg, oc, kk, total
+        return toks, u, rm, mg, oc, kk, total
 
-    toks, u, mg, oc, kk, total = jax.lax.while_loop(
-        cond, body, (tokens, ub, merges, occ, k, total0)
+    toks, u, _, mg, oc, kk, total = jax.lax.while_loop(
+        cond, body, (tokens, ub, rm0, merges, occ, k, total0)
     )
     maxlen = jax.lax.pmax(jnp.sum((toks >= 0).astype(jnp.int32)), AXIS)
     return toks, u, mg, oc, kk, total, maxlen
