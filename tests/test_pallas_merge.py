@@ -1,30 +1,30 @@
-"""Pallas fused merge + block-local compaction kernel vs the XLA reference
+"""Pallas fused merge + row-local compaction kernel vs the XLA reference
 formulation.
 
-The kernel's output layout is BLOCK-LOCAL prefixes (ops/pallas/merge.py
-layout contract), so equivalence is on the LOGICAL stream (valid tokens in
-order); each test additionally asserts the layout invariant (every block is
-a valid prefix). Runs in interpret mode on the CPU test mesh (compiled-mode
-equivalence is exercised on TPU by tests_tpu/ and the training/encode
-conformance paths)."""
+The kernel's output layout is ROW-LOCAL prefixes (ops/pallas/merge.py
+layout contract: every 128-lane row is a valid prefix), so equivalence is
+on the LOGICAL stream (valid tokens in order); each test additionally
+asserts the layout invariant. Runs in interpret mode on the CPU test mesh
+(compiled-mode equivalence is exercised on TPU by tests_tpu/ and the
+training/encode conformance paths)."""
 
 import numpy as np
 import pytest
 
 from zigbpe_tpu.ops import core
-from zigbpe_tpu.ops.pallas import merge as pm
+from zigbpe_tpu.ops.pallas import LAYOUT, merge as pm
 
 rng = np.random.default_rng(0)
 
 
-def logical(arr: np.ndarray, block: int):
-    """Valid tokens in logical order + assert the block-prefix invariant."""
+def logical(arr: np.ndarray, block: int = LAYOUT):
+    """Valid tokens in logical order + assert the row-prefix invariant."""
     arr = np.asarray(arr)
     blocks = arr.reshape(-1, block)
     for g, row in enumerate(blocks):
         n = int((row >= 0).sum())
         assert (row[:n] >= 0).all() and (row[n:] < 0).all(), (
-            f"block {g} is not a valid prefix"
+            f"row {g} is not a valid prefix"
         )
     return arr[arr >= 0].tolist()
 
@@ -37,7 +37,7 @@ def _check(data: bytes, a: int, b: int, cap: int, block_rows: int = 8):
         arr, a, b, 256, block_rows=block_rows, interpret=True
     )
     want_logical = want[want >= 0].tolist()
-    got_logical = logical(got, block_rows * 128)
+    got_logical = logical(got)
     assert want_logical == got_logical
     nhits = len(data) - len(want_logical)
     assert int(stats[0]) == nhits
@@ -91,8 +91,8 @@ def test_heavy_compaction():
     _check(b"ab" * 2000, 97, 98, 4096)
 
 
-def test_block_local_layout_roundtrip():
-    # a second pass on the block-local output of a first pass (the layout
+def test_row_local_layout_roundtrip():
+    # a second pass on the row-local output of a first pass (the layout
     # the training loop actually feeds the kernel)
     data = b"abcabc" * 600
     arr, _ = core.pad_tokens(data, 4096)
@@ -101,41 +101,49 @@ def test_block_local_layout_roundtrip():
     import zigbpe_tpu.models.oracle as oracle
 
     want = oracle.merge_pass(oracle.merge_pass(list(data), 97, 98, 256), 256, 99, 257)
-    assert logical(got, 8 * 128) == want
+    assert logical(got) == want
     assert int(stats[1]) == len(want)
 
 
-def test_min_kept_stat():
-    # a block that drains toward empty must be reported for recompaction
-    # (block 0 = 1024 a's collapses by repeated doubling merges)
+def test_min_kept_flags_draining_interior_rows():
+    # Rows that drain toward empty must be reported so the trainer
+    # recompacts (the kernel's layout contract); respecting the flag, the
+    # chained doubling merges on a degenerate corpus stay oracle-exact.
+    import zigbpe_tpu.models.oracle as oracle
+
     data = b"a" * 1024 + b"bcd" * 400
     out, _ = core.pad_tokens(data, 4096)
+    stream = list(data)
     tok = 97
-    for r in range(10):  # 1024 -> 512 -> ... -> 1 tokens in block 0
+    flagged = 0
+    for r in range(10):  # the a-run halves every round
         new = 256 + r
         out, stats = pm.merge_pass_pallas(out, tok, tok, new, block_rows=8,
                                           interpret=True)
+        stream = oracle.merge_pass(stream, tok, tok, new)
+        assert logical(out) == stream
+        if int(stats[2]) <= 1:  # trainer contract: recompact now
+            flagged += 1
+            out, _ = core.compact_stream(out)
         tok = new
-    blocks = np.asarray(out).reshape(-1, 8 * 128)
-    assert int((blocks[0] >= 0).sum()) == 1
-    assert int(stats[2]) <= 1  # the trainer would recompact now
+    assert flagged > 0  # the degenerate corpus must have tripped the flag
 
 
-def test_min_kept_ignores_last_nonempty_block():
-    # a legitimately tiny TAIL block (no successor with tokens) must not
-    # trigger recompaction: only interior blocks can break the next-block
+def test_min_kept_ignores_last_nonempty_row():
+    # a legitimately tiny TAIL row (no successor with tokens) must not
+    # trigger recompaction: only interior rows can break the next-row
     # adjacency peek
-    data = b"c" * 1024 + b"a" * 1024
-    out, _ = core.pad_tokens(data, 2048)
+    data = b"c" * 128 + b"a" * 128
+    out, _ = core.pad_tokens(data, 1024)
     tok = 97
-    for r in range(10):  # last block: 1024 -> ... -> 1 token
+    for r in range(7):  # last row: 128 -> ... -> 1 token
         new = 256 + r
         out, stats = pm.merge_pass_pallas(out, tok, tok, new, block_rows=8,
                                           interpret=True)
+        assert int(stats[2]) > 1, "tail drain must not flag"
         tok = new
-    blocks = np.asarray(out).reshape(-1, 8 * 128)
-    assert int((blocks[1] >= 0).sum()) == 1
-    assert int(stats[2]) > 1  # tail drain is harmless: no spurious flag
+    rows = np.asarray(out).reshape(-1, 128)
+    assert int((rows[1] >= 0).sum()) == 1
 
 
 def test_encode_replay_pallas_recompacts_drained_interior_blocks():

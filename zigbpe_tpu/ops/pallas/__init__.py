@@ -2,7 +2,11 @@
 
 import jax
 
-BLOCK = 256 * 128  # merge kernel block size (block_rows=256 x 128 lanes)
+BLOCK = 256 * 128  # merge kernel GRID block size (block_rows=256 x 128 lanes)
+# Stream layout granularity: ROW-LOCAL prefixes (each 128-lane row is a
+# valid-token prefix with a PAD tail; see ops/pallas/merge.py layout
+# contract). pair_streams(layout_block=LAYOUT) gives the logical adjacency.
+LAYOUT = 128
 
 
 def merge_kernel_supported(capacity: int) -> bool:

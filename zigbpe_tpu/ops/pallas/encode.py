@@ -35,8 +35,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .merge import PAD, LANES, NEG, _compact_bitmove, _max_scan_flat, \
+from .merge import PAD, LANES, NEG, _max_scan_flat, \
     _shift_left_flat, _shift_right_flat, _sum_scan_flat
+
+
+def _compact_bitmove(val, keep, dest, nkilled, work_ref):
+    """Flat stable stream compaction in log2(C) collision-free steps (the
+    training kernel has moved to within-row compaction; this flat variant
+    remains for the encode kernel's whole-document prefixes). Packs
+    (shift << 16 | value) into one int32; shifts < 2^15 (C <= 32768)."""
+    R, C = val.shape
+    n = R * C
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
+        + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    )
+    work_ref[:] = jnp.where(keep, ((idx - dest) << 16) | (val & 0xFFFF), -1)
+    b = 1
+    while b < n:
+
+        @pl.when(nkilled >= b)
+        def _step(b=b):
+            p = work_ref[:]
+            incoming = _shift_left_flat(p, b, -1)
+            moving_in = (incoming >= 0) & (((incoming >> 16) & b) != 0)
+            staying = (p >= 0) & (((p >> 16) & b) == 0)
+            work_ref[:] = jnp.where(
+                moving_in, incoming - (b << 16), jnp.where(staying, p, -1)
+            )
+
+        b *= 2
+    packed = work_ref[:]
+    return jnp.where(packed >= 0, packed & 0xFFFF, PAD)
 
 
 def _encode_kernel(

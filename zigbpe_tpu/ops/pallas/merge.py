@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: one fused greedy-merge + block-local compaction pass.
+"""Pallas TPU kernel: one fused greedy-merge + row-local compaction pass.
 
 This is the Stage-2 hot-path kernel (SURVEY.md §7): the device analogue of
 the reference's ``replaceTopPairWithNewToken`` (basic_tokenizer.zig:207-232)
@@ -11,54 +11,61 @@ formulation costs ~29 ms per round at 8Mi tokens (cummax parity scan ~12 ms
 over HBM. The token stream at 8Mi tokens is only 32 MB — speed-of-light for
 read+write is ~0.1 ms. This kernel streams each block exactly once.
 
-Layout contract — **block-local prefixes** (the key design choice): the
-token array is a sequence of (R*128)-element blocks, each of which is a
-valid-token prefix with a PAD tail. The LOGICAL stream is the concatenation
-of the block prefixes. The kernel compacts each block locally and writes it
-back to its own (aligned, pipeline-DMA'd) slot; tokens never migrate across
-blocks, so there is no staging ring, no unaligned stores, and no flush
-bookkeeping — an earlier design that maintained a single global prefix paid
-~40% of its VPU work rotating and staging compacted data into a ring buffer.
-Trainers re-establish a single global prefix only when they need one
-(shrink / checkpoint), with one cheap stable sort (ops.core.compact_stream).
+Layout contract — **row-local prefixes** (the key design choice): the token
+array is a sequence of 128-lane ROWS, each of which is a valid-token prefix
+with a PAD tail. The LOGICAL stream is the concatenation of the row
+prefixes. Compaction after a merge is then WITHIN-ROW only — tokens never
+cross row boundaries — which caps the bit-move shift at 127 (<= 7 gated
+steps) and lets the destination scan run as ONE MXU matmul (killed-mask @
+strict-upper-triangular ones) instead of a ~30-op Kogge-Stone scan. An
+earlier revision kept 32K-element block-local prefixes: its block-wide
+compaction (full dest scan + up to 15 bit-move steps) was ~60% of the
+kernel's VPU work (measured 6.5 ms/pass at 33.5M tokens vs the 1.4 ms
+streaming floor); row-local halves that. Trainers re-establish a single
+global prefix only when they need one (shrink / checkpoint), with one
+stable sort (ops.core.compact_stream) — a global prefix is itself a valid
+row-local layout.
 
-Block-local invariants the trainers maintain:
+Row-local invariants the trainers maintain:
 
-* Every block that precedes a block with valid tokens is non-empty (an
-  empty interior block would break next-block adjacency peeking). A merge
-  round can empty a block only if the block entered it with < 2 tokens, so
-  the kernel reports ``min_kept`` (the smallest post-round population of any
-  INTERIOR non-empty input block — the last non-empty block has no valid
-  successor and is excluded, so a legitimately small tail block never
-  triggers) and the trainer globally recompacts when it drops
-  to <= 1 — for text-like corpora this effectively never fires, because the
-  shrink schedule recompacts long before any block drains.
-* Within a block, valid positions are exactly [0, L): a token's logical
-  rank is its flat index plus the carry of earlier block populations, which
-  makes the leftmost-greedy parity indices free (no rank scan needed).
+* Every row that precedes a row with valid tokens is non-empty (an empty
+  interior row would break next-row adjacency peeking). A merge round can
+  empty a row only if the row entered it with < 2 tokens, so the kernel
+  reports ``min_kept`` (the smallest post-round population of any INTERIOR
+  non-empty input row — the stream's last non-empty row has no valid
+  successor and is excluded via a one-block deferral, so a legitimately
+  small tail row never triggers) and the trainer globally recompacts when
+  it drops to <= 1. Text-like corpora hold ~90+ tokens per 128-byte row
+  after 1K merges; the flag exists for degenerate (e.g. single-byte)
+  corpora.
+* Within a row, valid positions are exactly [0, Lr): a token's within-row
+  logical rank is its lane index; whole-stream ranks (needed only for the
+  a == b parity scan) add an exclusive row-population prefix.
 
-Per (R, 128) block, sequential grid (one TensorCore — grids execute in
-order), carries in SMEM:
+Per (R, 128) grid block, sequential grid (one TensorCore — grids execute
+in order), carries in SMEM:
 
-* **Hits**: candidate mask c[j] = (t[j]==a) & (next[j]==b), where next[j]
-  is t[j+1] except at the block's last valid slot, which peeks slot 0 of
-  the next block (8-row secondary input ref). For a != b candidates cannot
+* **Hits**: candidate mask c[r,j] = (t[r,j]==a) & (next[r,j]==b), where
+  next is the within-row shift except at each row's last valid slot, which
+  peeks slot 0 of the NEXT row (in-block: a sublane shift of the row heads;
+  across blocks: the secondary input ref). For a != b candidates cannot
   overlap, so hits = c. For a == b, leftmost-greedy picks alternate members
   of each candidate run (reference semantics ``aaa`` -> ``[X, a]``):
-  hit[j] = c[j] & odd(rank j - rank of last non-candidate), via an in-block
-  max-scan over logical ranks combined with a scalar carry.
-* A hit on the block-edge pair writes the new token locally and sends a
-  kill-first carry to the next block (whose slot 0 is the partner).
-* **Compaction** (local): keep = alive & ~killed; dest = exclusive cumsum;
-  kept elements move by the monotone bit-move — for each bit 2^b of the
-  shift (j - dest[j], non-decreasing in j), elements whose shift has that
-  bit move left by 2^b; every partial step is collision-free. The shift is
-  bounded by the block's kill count, so step 2^b runs (as a pl.when branch)
-  only when the block killed >= 2^b slots: sparse rounds pay O(log kills).
+  hit = c & odd(rank - rank of last non-candidate), via a flat max-scan
+  over LOGICAL ranks (PAD slots transparent) plus a scalar carry.
+* A hit on a row's edge pair writes the new token locally and kills the
+  next row's head (in-block: a sublane-shifted mask; across blocks: a
+  kill-first carry).
+* **Compaction** (within-row): keep = alive & ~killed; shift = exclusive
+  prefix count of killed within the row — ONE bf16 MXU matmul (exact for
+  counts <= 128) — and kept elements move by the monotone packed bit-move
+  (shift << 16 | value), step 2^s gated on the block's max row-kills, so
+  sparse rounds pay O(log max-kills) steps with within-row shifts only.
 
 The kernel returns (tokens', stats[nhits, new_length, min_kept]) with
-tokens' aliasing the input. It is logically bit-exact vs ops.core.merge_pass
-(tested via interpret mode on CPU and compiled on TPU against the oracle).
+tokens' aliasing the input; untouched blocks are never written. It is
+logically bit-exact vs ops.core.merge_pass on the logical stream (tested
+via interpret mode on CPU and compiled on TPU against the oracle).
 """
 
 from __future__ import annotations
@@ -73,12 +80,14 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = -1
 LANES = 128
 NEG = -(2**31) + 1  # python int: kernels must not capture traced constants
+BIG = 2**31 - 1
 
 
 # ---------------------------------------------------------------------------
-# In-block flat-order primitives on (R, 128) tiles (row-major == flat order).
-# All shifts are STATIC so they lower to lane/sublane concatenates, which
-# Mosaic supports (no cumsum/cummax/roll primitives needed).
+# Flat-order helpers on (R, 128) tiles (row-major == flat order). All shifts
+# are STATIC so they lower to lane/sublane concatenates, which Mosaic
+# supports (no cumsum/cummax/roll primitives needed). Still used by the
+# a == b parity path here and by the encode kernel.
 # ---------------------------------------------------------------------------
 
 
@@ -159,42 +168,48 @@ def _sum_scan_flat(x):
     return _scan_flat(x, jnp.add, jnp.int32(0))
 
 
-def _compact_bitmove(val, keep, dest, nkilled, work_ref):
-    """Move kept elements to their dest (exclusive cumsum of keep) — stable
-    stream compaction in log2(C) collision-free steps, staged through the
-    ``work_ref`` VMEM scratch. Dropped slots -> PAD.
+def _row_prefix_killed(killed):
+    """Exclusive within-row prefix count of ``killed`` as ONE MXU matmul:
+    kf @ strict-upper-triangular ones, f32 in / f32 accumulate (exact for
+    counts <= 128; f32 keeps the (8,128) tiling — Mosaic rejects the
+    i1 -> bf16 (16,128) relayout)."""
+    R, C = killed.shape
+    kf = killed.astype(jnp.float32)
+    rk = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    ck = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    ut = (rk < ck).astype(jnp.float32)
+    return jax.lax.dot_general(
+        kf, ut, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
 
+
+def _compact_rows_bitmove(written, keep, shift, mrk, work_ref):
+    """Within-row stable compaction: kept element at lane c moves left by
+    ``shift[r, c]`` (its exclusive killed-prefix, monotone per row, < 128).
     The (value, remaining-shift) pair is PACKED into one int32
     (shift << 16 | value; values are u16 tokens — the vocab cap is 65536
-    (basic_tokenizer.zig:140) — and shifts < 2^15) so each step moves one
-    array instead of two; packed < 0 marks a hole.
+    (basic_tokenizer.zig:140)); packed < 0 marks a hole. Step 2^s runs only
+    when ``mrk`` (the block's max row-kills) >= 2^s — sparse rounds pay
+    O(log max-kills) steps — and every shift is WITHIN-ROW (one lane
+    concat), never a flat shift."""
+    R, C = written.shape
+    work_ref[:] = jnp.where(keep, (shift << 16) | (written & 0xFFFF), -1)
+    s = 1
+    while s < C:
 
-    Every element's shift (= number of dropped slots before it) is bounded
-    by ``nkilled``, the block's kill count, so step 2^b only runs when
-    ``nkilled >= 2^b`` — sparse rounds (few kills) pay O(log nkilled)
-    steps, not O(log C). Steps are ``pl.when`` stores (real branches;
-    Mosaic cannot lower scalar-predicated vector selects)."""
-    R, C = val.shape
-    n = R * C
-    idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
-        + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-    )
-    work_ref[:] = jnp.where(keep, ((idx - dest) << 16) | (val & 0xFFFF), -1)
-    b = 1
-    while b < n:
-
-        @pl.when(nkilled >= b)
-        def _step(b=b):
+        @pl.when(mrk >= s)
+        def _step(s=s):
             p = work_ref[:]
-            incoming = _shift_left_flat(p, b, -1)
-            moving_in = (incoming >= 0) & (((incoming >> 16) & b) != 0)
-            staying = (p >= 0) & (((p >> 16) & b) == 0)
+            incoming = jnp.concatenate(
+                [p[:, s:], jnp.full((R, s), -1, jnp.int32)], axis=1
+            )
+            moving_in = (incoming >= 0) & (((incoming >> 16) & s) != 0)
+            staying = (p >= 0) & (((p >> 16) & s) == 0)
             work_ref[:] = jnp.where(
-                moving_in, incoming - (b << 16), jnp.where(staying, p, -1)
+                moving_in, incoming - (s << 16), jnp.where(staying, p, -1)
             )
 
-        b *= 2
+        s *= 2
     packed = work_ref[:]
     return jnp.where(packed >= 0, packed & 0xFFFF, PAD)
 
@@ -212,26 +227,25 @@ def _merge_kernel(
     stats_ref,    # SMEM int32[3]: (nhits, new_length, min_kept)
     work,         # VMEM (R, 128) scratch: bit-move staging
     obuf,         # VMEM (2R, 128) double-buffered output staging
-    carry,        # SMEM int32[8]: see _init
+    carry,        # SMEM int32[9]: see _init
     sem,          # DMA semaphore array (2,) for output copies
     *,
     R: int,
 ):
-    C = R * LANES
     i = pl.program_id(0)
     G = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _init():
-        carry[0] = NEG      # logical rank of the last non-candidate pair
-        carry[1] = 0        # kill-first flag for this block
+        carry[0] = NEG      # logical rank of the last non-candidate position
+        carry[1] = 0        # kill-head carry for this block's row 0
         carry[2] = 0        # logical rank offset (sum of earlier block pops)
         carry[3] = 0        # total hits
         carry[4] = 0        # total kept (new logical length)
-        carry[5] = 0x7FFFFFFF  # min kept over INTERIOR non-empty blocks
+        carry[5] = BIG      # min kept over INTERIOR non-empty rows
         carry[6] = 0        # copy in flight on obuf slot 0?
         carry[7] = 0        # copy in flight on obuf slot 1?
-        carry[8] = 0x7FFFFFFF  # kept of the previous non-empty block
+        carry[8] = BIG      # kept of the last non-empty row seen (deferred)
 
     a = scalars[0]
     b = scalars[1]
@@ -269,75 +283,157 @@ def _merge_kernel(
     # kill carry) are never written at all: the output aliases the input,
     # so their bytes are already correct — late sparse rounds write only
     # the handful of blocks they actually touch.
-    @pl.when(L > 0)
+    #
+    # Presence fast path: a block can only contain a candidate if token
+    # ``a`` occurs in it AND ``b`` occurs in it or at the next block's head.
+    # Late training rounds merge RARE (recently minted) tokens, so most
+    # blocks fail this test and pay ~6 ops instead of the full ~35-op
+    # machinery. Skipping the min_kept fold is safe: populations are
+    # unchanged, and every interior row entered the round with >= 2 tokens
+    # (the trainer recompacts whenever min_kept drops to <= 1), so an
+    # unchanged row can never be the one that trips the flag.
+    has_a = jnp.any(valid & (tok == a))
+    has_b = jnp.any(valid & (tok == b)) | (nxt_ref[0, 0] == b)
+    full = (carry[1] == 1) | (has_a & has_b)
+
+    def _skip():
+        carry[0] = carry[2] + L - 1  # all tokens are non-candidates
+        carry[2] = carry[2] + L
+        carry[4] = carry[4] + L
+
     def _process():
-        nxt = _shift_left_flat(tok, 1, jnp.int32(PAD))
-        # the pair of the last valid slot peeks slot 0 of the next block
-        # (block-local prefix invariant: a non-empty successor's slot 0 is
-        # valid; an all-PAD successor yields PAD and kills the candidate)
-        edge_second = jnp.where(i == G - 1, jnp.int32(PAD), nxt_ref[0, 0])
-        is_lastvalid = valid & (nxt < 0)
-        nxt2 = jnp.where(is_lastvalid, edge_second, nxt)
-
-        cand = valid & (tok == a) & (nxt2 == b) & (nxt2 >= 0)
-
-        # leftmost-greedy parity for a == b runs: logical pair ranks are
-        # carry[2] + flat index (valid slots are exactly [0, L) — free
-        # ranks). For a != b candidates cannot overlap: hits = candidates.
-        # (cond branches yield int32 — Mosaic cannot yield i1 vectors)
         row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-        rank = carry[2] + row * LANES + col
 
+        # next view: within-row shift; each row's last valid slot peeks the
+        # next row's head (row-local prefix invariant: a non-empty
+        # successor's slot 0 is valid; an all-PAD successor yields PAD and
+        # kills the candidate). The block's last row peeks the next block.
+        nxt_in = jnp.concatenate(
+            [tok[:, 1:], jnp.full((R, 1), PAD, tok.dtype)], axis=1
+        )
+        heads = jnp.broadcast_to(tok[:, :1], (R, LANES))
+        hn = jnp.concatenate(
+            [heads[1:, :], jnp.full((1, LANES), PAD, tok.dtype)], axis=0
+        )
+        edge = jnp.where(i == G - 1, jnp.int32(PAD), nxt_ref[0, 0])
+        hn = jnp.where(row == R - 1, edge, hn)
+        is_lastvalid = valid & (nxt_in < 0)
+        nxt = jnp.where(is_lastvalid, hn, nxt_in)
+
+        cand = valid & (tok == a) & (nxt == b) & (nxt >= 0)
+        ncand = jnp.sum(cand.astype(jnp.int32))
+        act = (ncand > 0) | (carry[1] == 1)
+
+        # second fast path: a and b present but never adjacent (and no kill
+        # carry) — the block is untouched; skip kills/compaction/min_kept
+        @pl.when(~act)
+        def _idle():
+            carry[0] = carry[2] + L - 1  # all tokens are non-candidates
+            carry[2] = carry[2] + L
+            carry[4] = carry[4] + L
+
+        @pl.when(act)
+        def _do_process():
+            _process_act(cand, nxt_in, is_lastvalid, row, col)
+
+    def _process_act(cand, nxt_in, is_lastvalid, row, col):
+        rowpop = jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True)  # (R,1)
+
+        # leftmost-greedy parity for a == b runs (reference ``aaa -> [X,a]``
+        # semantics): logical ranks = exclusive row-population prefix + lane
+        # index (valid slots are exactly [0, Lr) per row). PAD slots are
+        # transparent (rank NEG) so runs span row boundaries correctly. For
+        # a != b candidates cannot overlap: hits = candidates. (cond
+        # branches yield int32 — Mosaic cannot yield i1 vectors.)
         def with_parity(c_mask):
-            non_cand_rank = jnp.where(c_mask == 1, NEG, rank)
-            last_nonc = jnp.maximum(_max_scan_flat(non_cand_rank), carry[0])
-            return ((c_mask == 1) & (((rank - last_nonc) & 1) == 1)).astype(
-                jnp.int32
+            rp = jnp.broadcast_to(rowpop, (R, LANES))
+            t = jnp.concatenate(
+                [jnp.zeros((1, LANES), jnp.int32), rp[:-1, :]], axis=0
             )
+            s = 1
+            while s < R:  # exclusive row-population prefix (Kogge-Stone)
+                t = t + jnp.concatenate(
+                    [jnp.zeros((s, LANES), jnp.int32), t[:-s, :]], axis=0
+                )
+                s *= 2
+            grank = carry[2] + t + col
+            ncr = jnp.where((c_mask == 1) | ~valid, NEG, grank)
+            last_nonc = jnp.maximum(_max_scan_flat(ncr), carry[0])
+            hit32 = (
+                (c_mask == 1) & (((grank - last_nonc) & 1) == 1)
+            ).astype(jnp.int32)
+            return hit32, jnp.maximum(carry[0], jnp.max(ncr))
 
-        hit = jax.lax.cond(
-            a == b, with_parity, lambda c_mask: c_mask, cand.astype(jnp.int32)
-        ) == 1
+        hit32, c0 = jax.lax.cond(
+            a == b, with_parity, lambda c_mask: (c_mask, carry[0]),
+            cand.astype(jnp.int32),
+        )
+        hit = hit32 == 1
 
-        # kills: partner of an in-block hit, or the kill-first carry
-        # (shift in int32 — Mosaic cannot shift/concat i1 vectors)
-        killed = _shift_right_flat(hit.astype(jnp.int32), 1, 0) == 1
-        killed = killed | ((row * LANES + col == 0) & (carry[1] == 1))
+        # kills: within-row partner (lane shift), edge-hit partner (sublane
+        # shift of per-row edge-hit flags), and the cross-block carry
+        killed_in = jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.int32), hit32[:, :-1]], axis=1
+        )
+        ehit = jnp.sum(
+            (hit & is_lastvalid).astype(jnp.int32), axis=1, keepdims=True
+        )  # (R,1)
+        ke = jnp.broadcast_to(ehit, (R, LANES))
+        ke = jnp.concatenate(
+            [jnp.zeros((1, LANES), jnp.int32), ke[:-1, :]], axis=0
+        )
+        ke = jnp.where(row == 0, carry[1], ke)
+        killed = ((killed_in == 1) | ((col == 0) & (ke >= 1))) & valid
 
         written = jnp.where(hit, new_tok, tok)
         keep = valid & ~killed
-        kept = jnp.sum(keep.astype(jnp.int32))
-        nhits_blk = jnp.sum(hit.astype(jnp.int32))
-        nkilled = jnp.sum(killed.astype(jnp.int32))
+        rowkills = jnp.sum(killed.astype(jnp.int32), axis=1, keepdims=True)
+        nkilled = jnp.sum(rowkills)
+        nhits_blk = jnp.sum(hit32)
+        mrk = jnp.max(rowkills)
 
-        # local compaction back to a block prefix; with no kills `written`
-        # is already one (PAD only ever in the block tail). Untouched
-        # blocks skip the store entirely (aliased output).
+        # within-row compaction; with no kills ``written`` is already a
+        # valid row-prefix layout. Untouched blocks skip the store entirely
+        # (aliased output).
         @pl.when(nkilled > 0)
         def _do_compact():
-            dest = _sum_scan_flat(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
-            store_block(_compact_bitmove(written, keep, dest, nkilled, work))
+            shift = _row_prefix_killed(killed)
+            store_block(
+                _compact_rows_bitmove(written, keep, shift, mrk, work)
+            )
 
         @pl.when((nkilled == 0) & (nhits_blk > 0))
         def _no_compact():
             store_block(written)
 
-        # carries: parity rank (non-candidates only), edge-hit kill-first,
-        # rank offset, totals, min population. min_kept folds the PREVIOUS
-        # non-empty block's population (deferred one block), so the LAST
-        # non-empty block — which has no valid successor and therefore
-        # cannot break adjacency peeking — is never counted; a legitimate
-        # small tail block does not trigger spurious recompaction.
-        carry[0] = jnp.maximum(
-            carry[0], jnp.max(jnp.where(cand | (rank >= carry[2] + L), NEG, rank))
+        # min_kept folds the PREVIOUS non-empty row's population one step
+        # deferred, so the stream's LAST non-empty row — which has no valid
+        # successor and therefore cannot break adjacency peeking — is never
+        # counted; a legitimate small tail row does not trigger spurious
+        # recompaction. Interior rows of this block (all but its last
+        # non-empty row) fold immediately.
+        rowkept = rowpop - rowkills  # (R,1)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        ne = rowpop > 0
+        last_ne = jnp.max(jnp.where(ne, ridx, -1))
+        m_abl = jnp.min(jnp.where(ne & (ridx != last_ne), rowkept, BIG))
+        last_kept = jnp.max(jnp.where(ridx == last_ne, rowkept, NEG))
+
+        carry[0] = c0
+        carry[1] = jnp.sum(
+            (hit & is_lastvalid & (row == R - 1)).astype(jnp.int32)
         )
-        carry[1] = jnp.sum((hit & is_lastvalid).astype(jnp.int32))
         carry[2] = carry[2] + L
         carry[3] = carry[3] + nhits_blk
-        carry[4] = carry[4] + kept
-        carry[5] = jnp.minimum(carry[5], carry[8])
-        carry[8] = kept
+        carry[4] = carry[4] + (L - nkilled)
+        carry[5] = jnp.minimum(carry[5], jnp.minimum(carry[8], m_abl))
+        carry[8] = last_kept
+
+    # (plain defs above so _process can call _process_act: pl.when runs its
+    # body immediately at trace time)
+    pl.when((L > 0) & ~full)(_skip)
+    pl.when((L > 0) & full)(_process)
 
     @pl.when(i == G - 1)
     def _finish():
@@ -353,7 +449,7 @@ def _merge_kernel(
 
         stats_ref[0] = carry[3]
         stats_ref[1] = carry[4]
-        stats_ref[2] = jnp.minimum(carry[5], jnp.int32(0x7FFFFFFF))
+        stats_ref[2] = jnp.minimum(carry[5], jnp.int32(BIG))
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -361,24 +457,20 @@ def merge_pass_pallas(
     tokens: jax.Array, first, second, new_token, *, block_rows: int = 256,
     interpret: bool = False,
 ):
-    """Fused greedy merge + block-local compaction.
+    """Fused greedy merge + row-local compaction.
 
-    ``tokens``: int32[N] in block-local prefix layout (a globally-compacted
+    ``tokens``: int32[N] in row-local prefix layout (a globally-compacted
     stream is a special case), N a multiple of block_rows*128. Returns
     (new_tokens, stats[nhits, new_length, min_kept]) in the same layout.
     Exact reference semantics on the logical stream
     (basic_tokenizer.zig:207-232), including ``aaa -> [X, a]``.
 
     256-row blocks amortize the per-block fixed cost of the (inherently
-    sequential — one TensorCore) grid; 256 is the cap because the packed
-    bit-move encodes the in-block shift in 15 bits (C <= 32768).
+    sequential — one TensorCore) grid.
     """
     N = tokens.shape[0]
     R = block_rows
     C = R * LANES
-    if R > 256:
-        # packed bit-move encodes the shift in 15 bits: C <= 32768
-        raise ValueError(f"block_rows {R} exceeds 256")
     if N % C:
         raise ValueError(f"capacity {N} must be a multiple of {C}")
     G = N // C

@@ -115,7 +115,8 @@ def init_ub_dp(tokens, *, vocab_size: int):
     return jax.lax.psum(hist, AXIS)
 
 
-def _dp_select_lazy(ub, rowmax, tokens, *, vocab_size: int, batch: int = 8):
+def _dp_select_lazy(ub, rowmax, tokens, *, vocab_size: int, batch: int = 8,
+                    hot=None):
     """Lazy batch-verified selection across shards: ub (and its rowmax pop
     cache) is replicated — every shard computes the identical pop sequence
     via ops.core.select_top_pair_lazy, with the exact-count pass overridden
@@ -130,12 +131,12 @@ def _dp_select_lazy(ub, rowmax, tokens, *, vocab_size: int, batch: int = 8):
     def count_fn(pa, pb):
         local = jnp.stack([
             jnp.sum((pid_stream == pa[j] * V + pb[j]).astype(jnp.int32))
-            for j in range(batch)
+            for j in range(pa.shape[0])
         ])
         return jax.lax.psum(local, AXIS)
 
     return core.select_top_pair_lazy(
-        ub, None, V, batch=batch, rowmax=rowmax, count_fn=count_fn
+        ub, None, V, batch=batch, rowmax=rowmax, count_fn=count_fn, hot=hot
     )
 
 
@@ -273,7 +274,9 @@ def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
             ub, rm, tokens, vocab_size=V
         )
     else:
-        ta, tb, cnt, ub, rm = _dp_select_lazy(ub, rm, tokens, vocab_size=V)
+        ta, tb, cnt, ub, rm = _dp_select_lazy(
+            ub, rm, tokens, vocab_size=V, hot=VOCAB_START + k - 1
+        )
     new_id = VOCAB_START + k
 
     a, b, pair_valid, L, G = _shard_pair_streams(tokens)

@@ -88,9 +88,10 @@ def _compact_jit(tokens):
 
 @functools.partial(jax.jit, static_argnames=("vocab_size", "layout_block"),
                    donate_argnums=(1, 2))
-def _select_round_jit(tokens, ub, rowmax, *, vocab_size, layout_block):
+def _select_round_jit(tokens, ub, rowmax, hot, *, vocab_size, layout_block):
     return core.select_top_pair_lazy(
-        ub, tokens, vocab_size, layout_block=layout_block, rowmax=rowmax
+        ub, tokens, vocab_size, layout_block=layout_block, rowmax=rowmax,
+        hot=hot,
     )
 
 
@@ -131,7 +132,7 @@ def _train_device_instrumented(
     ``replace_pairs``. Each phase ends with a host sync, so the split is
     real device time — at ~2 syncs of tunnel latency per round."""
     from .ops import pallas as pallas_pkg
-    from .ops.pallas import BLOCK
+    from .ops.pallas import LAYOUT
 
     M = vocab_size - core.VOCAB_START
     merges: List[Merge] = list(start_merges)
@@ -144,11 +145,13 @@ def _train_device_instrumented(
             np.asarray(rowmax[0])
     while len(merges) < M and length_host >= 2:
         use_pallas = pallas_pkg.merge_kernel_supported(capacity)
-        lb = BLOCK if use_pallas else None
+        lb = LAYOUT if use_pallas else None
         with stats.phase("sort_pairs"):
             if lazy:
                 ta, tb, cnt, ub, rowmax = _select_round_jit(
-                    tokens, ub, rowmax, vocab_size=vocab_size, layout_block=lb
+                    tokens, ub, rowmax,
+                    jnp.int32(core.VOCAB_START + len(merges) - 1),
+                    vocab_size=vocab_size, layout_block=lb,
                 )
             else:
                 ta, tb, cnt = _select_round_sorted_jit(
