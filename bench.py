@@ -131,17 +131,18 @@ def main() -> None:
     from zigbpe_tpu.ops.pallas import encode as pe
 
     enc_table = fastio.train(data[: 1 << 20], 256 + 1024)
-    mtab = jnp.asarray(np.asarray(enc_table, np.int32).reshape(-1, 3))
+    gt, gl = pe.group_merges(np.asarray(enc_table, np.int32).reshape(-1, 3))
+    gt, gl = jnp.asarray(gt), jnp.asarray(gl)
     L = 32768
     B = tokens.shape[0] // L
     rows_dev = tokens[: B * L].reshape(B, L)
-    enc_fn = jax.jit(pe.encode_rows_pallas)
-    _, lens = enc_fn(rows_dev, mtab)
+    enc_fn = pe.encode_rows_grouped
+    _, lens = enc_fn(rows_dev, gt, gl)
     sync(lens)  # compile + warm
     enc_runs = []
     for _ in range(2):
         t0 = time.perf_counter()
-        _, lens = enc_fn(rows_dev, mtab)
+        _, lens = enc_fn(rows_dev, gt, gl)
         sync(lens)
         enc_runs.append(B * L / (time.perf_counter() - t0) / 1e6)
     encode_mbps = max(enc_runs)

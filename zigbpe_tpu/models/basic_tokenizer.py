@@ -62,7 +62,7 @@ def _encode_batch_jit(use_pallas: bool = False):
     if use_pallas:
         from ..ops.pallas import encode as pe
 
-        return pe.encode_rows_pallas
+        return pe.encode_rows_pallas  # wrapper: host-groups, then replays
 
     from ..ops import encode_batch as eb
 
@@ -76,6 +76,7 @@ class BasicTokenizer:
         self.merges: List[Merge] = [tuple(int(v) for v in m) for m in merges or []]
         self.time_stats = TimeStats()
         self._device_merges = None  # cached (M,3) device array
+        self._grouped_merges = None  # cached (gtable, glens) device arrays
 
     # ------------------------------------------------------------------ train
 
@@ -111,6 +112,7 @@ class BasicTokenizer:
         else:
             raise ValueError(f"unknown backend {backend!r}")
         self._device_merges = None
+        self._grouped_merges = None
         return self
 
     # ----------------------------------------------------------------- encode
@@ -177,9 +179,15 @@ class BasicTokenizer:
             if pallas_pkg.encode_kernel_supported(max(L, 1024)):
                 L = max(L, 1024)
         tokens, _ = eb.pad_batch(docs, L)
-        out, lengths = _encode_batch_jit(pallas_pkg.encode_kernel_supported(L))(
-            tokens, self._device_merges
-        )
+        if pallas_pkg.encode_kernel_supported(L):
+            from ..ops.pallas import encode as pe
+
+            if self._grouped_merges is None:
+                gt, gl = pe.group_merges(np.asarray(self.merges, np.int32))
+                self._grouped_merges = (jnp.asarray(gt), jnp.asarray(gl))
+            out, lengths = pe.encode_rows_grouped(tokens, *self._grouped_merges)
+        else:
+            out, lengths = _encode_batch_jit(False)(tokens, self._device_merges)
         out = np.asarray(out)
         lengths = np.asarray(lengths)
         return [out[i, : lengths[i]].tolist() for i in range(len(docs))]
@@ -235,6 +243,7 @@ class BasicTokenizer:
         the current merge list."""
         self.merges = serde.load(path)
         self._device_merges = None
+        self._grouped_merges = None
         return self
 
     @classmethod

@@ -10,18 +10,30 @@ the merge table in SMEM via scalar prefetch.
 
 Per (R, 128) block == one padded document row:
 
-* Rows are independent streams (no cross-block peeking, carries, or
-  compaction migration — unlike the training kernel, ops/pallas/merge.py).
-* Each merge pass is the same leftmost-greedy hit/kill/compact as training:
-  parity scan only when a == b, kill-count-gated bit-move compaction.
+* Rows are independent streams (no cross-block peeking or carries).
+* The evolving stream uses the ROW-LOCAL prefix layout of the training
+  kernel (ops/pallas/merge.py): every 128-lane row of the block is a valid
+  prefix, so a merge pass compacts WITHIN rows only — destination scan =
+  one MXU matmul, packed bit-move <= 7 steps gated by the max row-kills.
+  A pass with a handful of hits costs ~1-2 bit-move steps instead of the
+  up-to-15 flat steps of the earlier whole-document-prefix design (whose
+  dest scan + bit-move were ~60% of per-pass cost, NOTES_r2).
 * **Presence bitmap skip**: an SMEM bitmap of token ids present in this row
   (sound over-approximation: byte ids start set, a merge's new token is set
   when it fires) lets a pass bail in O(1) when either side of the pair
-  cannot be present — for a ~1K-merge table most passes skip entirely on
-  typical documents.
+  cannot be present.
+* **Next-view cache**: the adjacent-token view is cached in VMEM and only
+  rebuilt after a pass that changed the stream — a pass whose pair is
+  present but never adjacent costs just the candidate compare.
+* If a merge empties an interior row (degenerate, e.g. doubling-collapse
+  documents), the whole document is recompacted in place with the flat
+  bit-move and replay continues — the row-local invariant (no empty
+  interior rows) is self-healed in-kernel.
+* The final document is emitted as a single global prefix (the batch API's
+  ``out[i, :length[i]]`` contract).
 
-Constraints: row length L = R*128 with 8 <= R <= 256 (the packed bit-move
-encodes in-row shifts in 15 bits); longer documents go through the
+Constraints: row length L = R*128 with 8 <= R <= 256 (the packed flat
+bit-move encodes in-row shifts in 15 bits); longer documents go through the
 single-stream path. The XLA formulation (ops/encode_batch.py) remains the
 portable fallback.
 """
@@ -35,15 +47,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .merge import PAD, LANES, NEG, _max_scan_flat, \
-    _shift_left_flat, _shift_right_flat, _sum_scan_flat
+from .merge import PAD, LANES, NEG, _compact_rows_bitmove, _max_scan_flat, \
+    _row_prefix_killed, _shift_left_flat, _sum_scan_flat
 
 
 def _compact_bitmove(val, keep, dest, nkilled, work_ref):
-    """Flat stable stream compaction in log2(C) collision-free steps (the
-    training kernel has moved to within-row compaction; this flat variant
-    remains for the encode kernel's whole-document prefixes). Packs
-    (shift << 16 | value) into one int32; shifts < 2^15 (C <= 32768)."""
+    """Flat stable stream compaction in log2(C) collision-free steps —
+    used for the in-kernel global recompactions (drained interior rows,
+    final prefix emission). Packs (shift << 16 | value) into one int32;
+    shifts < 2^15 (C <= 32768)."""
     R, C = val.shape
     n = R * C
     idx = (
@@ -69,18 +81,73 @@ def _compact_bitmove(val, keep, dest, nkilled, work_ref):
     return jnp.where(packed >= 0, packed & 0xFFFF, PAD)
 
 
+def group_merges(merges, cap: int = 16):
+    """Host-side: greedily group CONSECUTIVE merge-table entries that can
+    replay in ONE fused pass. Entries i < j fuse when every pair is
+    distinct, no member has a == b (the overlap-parity case stays a
+    singleton), and no member's (a, b) references an earlier member's
+    minted token. Soundness: within such a group, every adjacency CREATED
+    by an earlier member has that member's minted token on its left, so a
+    later member's candidates on the evolved stream are exactly its
+    original-stream candidates restricted to alive-and-unchanged slots —
+    which is what the fused kernel computes. Sequential replay semantics
+    (basic_tokenizer.zig:71-88) are preserved bit-exactly.
+
+    Real 1K-merge text tables fuse well (measured: cap=16 gives ~105 fused
+    passes for 1024 merges; 32 MB batched replay 21.6 -> 38.1 MB/s).
+
+    Returns (gtable int32[P, cap, 3] PAD-filled, glens int32[P]).
+    """
+    import numpy as np
+
+    t = np.asarray(merges, np.int64).reshape(-1, 3)
+    n = len(t)
+    groups = []
+    i = 0
+    while i < n:
+        g = 1
+        minted = {int(t[i, 2])}
+        pairs = {(int(t[i, 0]), int(t[i, 1]))}
+        ok = t[i, 0] != t[i, 1] and t[i, 2] >= 0
+        while ok and g < cap and i + g < n:
+            a, b, x = (int(v) for v in t[i + g])
+            if a == b or x < 0 or (a, b) in pairs or a in minted or b in minted:
+                break
+            minted.add(x)
+            pairs.add((a, b))
+            g += 1
+        groups.append(g)
+        i += g
+    P = len(groups)
+    gtable = np.full((P, cap, 3), PAD, np.int32)
+    pos = 0
+    for p, g in enumerate(groups):
+        gtable[p, :g] = t[pos : pos + g]
+        pos += g
+    return gtable, np.asarray(groups, np.int32)
+
+
 def _encode_kernel(
-    table,     # SMEM int32[M*3] merge table (scalar prefetch)
+    table,     # SMEM int32[P*cap*3] grouped merge table (scalar prefetch)
+    glens,     # SMEM int32[P] group sizes (scalar prefetch)
     tok_ref,   # VMEM (R, 128) one padded document row
     out_ref,   # VMEM (R, 128)
     buf,       # VMEM (R, 128) scratch: the evolving stream
+    nxtbuf,    # VMEM (R, 128) scratch: cached next-token view
     work,      # VMEM (R, 128) scratch: bit-move staging
+    wbuf,      # VMEM (R, 128) scratch: written values accumulator
+    aubuf,     # VMEM (R, 128) scratch: alive-and-unchanged mask (int32)
+    hbuf,      # VMEM (R, 128) scratch: hit mask accumulator (int32)
     present,   # SMEM int32[words] token-presence bitmap (256 + M ids)
+    flags,     # SMEM int32[1]: nxt cache dirty?
     *,
     R: int,
     M: int,
+    P: int,
+    cap: int,
 ):
     buf[:] = tok_ref[:]
+    flags[0] = 1
     # presence init: all byte ids (a fresh row is raw bytes); merge-built
     # ids are marked as their merges fire. Sound over-approximation.
     words = present.shape[0]
@@ -95,75 +162,229 @@ def _encode_kernel(
 
     row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-    idx = row * LANES + col
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
 
-    def body(m, _):
-        a = table[3 * m]
-        b = table[3 * m + 1]
-        nt = table[3 * m + 2]
-        # ids beyond the table's mintable range (a malformed table can mint
-        # any u16) are conservatively "maybe present": never skipped
-        def bit(v):
-            in_range = v < 256 + M
-            w = jnp.minimum(v >> 5, jnp.int32(words - 1))
-            return jnp.where(in_range, (present[w] >> (v & 31)) & 1, 1)
+    def flat_recompact(t):
+        keep = t >= 0
+        k32 = keep.astype(jnp.int32)
+        dest = _sum_scan_flat(k32) - k32
+        holes = R * LANES - jnp.sum(k32)
+        return _compact_bitmove(t, keep, dest, holes, work)
 
-        maybe = (nt >= 0) & (bit(a) == 1) & (bit(b) == 1)
+    # ids beyond the table's mintable range (a malformed table can mint
+    # any u16) are conservatively "maybe present": never skipped
+    def bit(v):
+        in_range = v < 256 + M
+        w = jnp.minimum(v >> 5, jnp.int32(words - 1))
+        return jnp.where(in_range, (present[w] >> (v & 31)) & 1, 1)
 
-        @pl.when(maybe)
-        def _pass():
+    def commit(written, killed, valid):
+        """Shared tail of an applying pass: within-row compaction, the
+        empty-interior-row self-heal, and next-view invalidation."""
+        keep = valid & ~killed
+        rowkills = jnp.sum(killed.astype(jnp.int32), axis=1, keepdims=True)
+        mrk = jnp.max(rowkills)
+        shift = _row_prefix_killed(killed)
+        buf[:] = _compact_rows_bitmove(written, keep, shift, mrk, work)
+
+        rowpop = jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True)
+        rowkept = rowpop - rowkills
+        ne2 = rowkept > 0
+        last2 = jnp.max(jnp.where(ne2, ridx, -1))
+        empty_interior = jnp.any(~ne2 & (ridx < last2))
+
+        @pl.when(empty_interior)
+        def _heal():
+            buf[:] = flat_recompact(buf[:])
+
+        flags[0] = 1  # stream changed: next view stale
+
+    def body(p, _):
+        base = p * cap * 3
+        glen = glens[p]
+
+        def member(j):
+            return table[base + 3 * j], table[base + 3 * j + 1], \
+                table[base + 3 * j + 2]
+
+        def member_maybe(j):
+            aj, bj, ntj = member(j)
+            return (jnp.int32(j) < glen) & (ntj >= 0) & (bit(aj) == 1) & \
+                (bit(bj) == 1)
+
+        any_maybe = member_maybe(0)
+        for j in range(1, cap):
+            any_maybe = any_maybe | member_maybe(j)
+        a0, b0, nt0 = member(0)
+        parity_single = (glen == 1) & (a0 == b0)
+
+        def rebuild_nxt(tok, valid):
+            @pl.when(flags[0] == 1)
+            def _rebuild():
+                nxt_in = jnp.concatenate(
+                    [tok[:, 1:], jnp.full((R, 1), PAD, tok.dtype)], axis=1
+                )
+                heads = jnp.broadcast_to(tok[:, :1], (R, LANES))
+                hn = jnp.concatenate(
+                    [heads[1:, :], jnp.full((1, LANES), PAD, tok.dtype)],
+                    axis=0,
+                )
+                nxtbuf[:] = jnp.where(valid & (nxt_in < 0), hn, nxt_in)
+                flags[0] = 0
+
+        def fused_pass():
+            """All-members-independent group (every a != b): each member's
+            candidates are its original-stream candidates restricted to
+            alive-and-unchanged slots (see group_merges soundness note);
+            ONE compaction commits the whole group."""
             tok = buf[:]
-            nxt = _shift_left_flat(tok, 1, jnp.int32(PAD))
-            cand = (tok == a) & (nxt == b) & (nxt >= 0)
-            ncand = jnp.sum(cand.astype(jnp.int32))
+            valid = tok >= 0
+            rebuild_nxt(tok, valid)
+            nxt = nxtbuf[:]
+            nxt_in = jnp.concatenate(
+                [tok[:, 1:], jnp.full((R, 1), PAD, tok.dtype)], axis=1
+            )
+            is_lv32 = (valid & (nxt_in < 0)).astype(jnp.int32)
 
-            @pl.when(ncand > 0)
-            def _apply():
-                def with_parity(c_mask):
-                    non_cand = jnp.where(c_mask == 1, NEG, idx)
-                    last_nonc = _max_scan_flat(non_cand)
-                    return (
-                        (c_mask == 1) & (((idx - last_nonc) & 1) == 1)
+            wbuf[:] = tok
+            aubuf[:] = valid.astype(jnp.int32)
+            hbuf[:] = jnp.zeros((R, LANES), jnp.int32)
+
+            for j in range(cap):
+                aj, bj, ntj = member(j)
+
+                @pl.when(member_maybe(j))
+                def _member(aj=aj, bj=bj, ntj=ntj):
+                    au = aubuf[:]
+                    au_hn = jnp.concatenate(
+                        [jnp.broadcast_to(au[:, :1], (R, LANES))[1:, :],
+                         jnp.zeros((1, LANES), jnp.int32)], axis=0,
+                    )
+                    au_sh = jnp.concatenate(
+                        [au[:, 1:], jnp.zeros((R, 1), jnp.int32)], axis=1
+                    )
+                    aup = jnp.where(is_lv32 == 1, au_hn, au_sh)
+                    candj = (
+                        (tok == aj) & (nxt == bj) & (nxt >= 0)
+                        & (au == 1) & (aup == 1)
                     ).astype(jnp.int32)
 
-                hit = jax.lax.cond(
-                    a == b, with_parity, lambda c: c, cand.astype(jnp.int32)
-                ) == 1
-                killed = _shift_right_flat(hit.astype(jnp.int32), 1, 0) == 1
-                written = jnp.where(hit, nt, tok)
-                keep = (tok >= 0) & ~killed
-                nkilled = jnp.sum(killed.astype(jnp.int32))
-                dest = _sum_scan_flat(keep.astype(jnp.int32)) - keep.astype(
-                    jnp.int32
+                    @pl.when(jnp.sum(candj) > 0)
+                    def _fire():
+                        killedj = jnp.concatenate(
+                            [jnp.zeros((R, 1), jnp.int32), candj[:, :-1]],
+                            axis=1,
+                        )
+                        ehitj = jnp.sum(candj * is_lv32, axis=1,
+                                        keepdims=True)
+                        kej = jnp.concatenate(
+                            [jnp.zeros((1, LANES), jnp.int32),
+                             jnp.broadcast_to(ehitj, (R, LANES))[:-1, :]],
+                            axis=0,
+                        )
+                        killedj = killedj + ((col == 0) & (kej >= 1)).astype(
+                            jnp.int32
+                        )
+                        wbuf[:] = jnp.where(candj == 1, ntj, wbuf[:])
+                        hbuf[:] = hbuf[:] + candj
+                        aubuf[:] = au * (1 - candj) * (1 - killedj)
+
+                        @pl.when(ntj < 256 + M)
+                        def _mark():
+                            present[ntj >> 5] = (
+                                present[ntj >> 5] | (1 << (ntj & 31))
+                            )
+
+            hb = hbuf[:]
+
+            @pl.when(jnp.sum(hb) > 0)
+            def _commit():
+                au = aubuf[:]
+                written = wbuf[:]
+                killed = valid & (au == 0) & (hb == 0)
+                commit(written, killed, valid)
+
+        def parity_pass():
+            """Singleton a == b group: leftmost-greedy overlap parity on
+            logical ranks (reference ``aaa -> [X, a]`` semantics)."""
+            tok = buf[:]
+            valid = tok >= 0
+            rebuild_nxt(tok, valid)
+            nxt = nxtbuf[:]
+            cand = valid & (tok == a0) & (nxt == b0) & (nxt >= 0)
+
+            @pl.when(jnp.sum(cand.astype(jnp.int32)) > 0)
+            def _apply():
+                nxt_in = jnp.concatenate(
+                    [tok[:, 1:], jnp.full((R, 1), PAD, tok.dtype)], axis=1
                 )
-                buf[:] = _compact_bitmove(written, keep, dest, nkilled, work)
+                is_lastvalid = valid & (nxt_in < 0)
+                rowpop = jnp.sum(valid.astype(jnp.int32), axis=1,
+                                 keepdims=True)
+                # logical ranks: exclusive row-population prefix + lane
+                rp = jnp.broadcast_to(rowpop, (R, LANES))
+                t = jnp.concatenate(
+                    [jnp.zeros((1, LANES), jnp.int32), rp[:-1, :]], axis=0
+                )
+                s = 1
+                while s < R:
+                    t = t + jnp.concatenate(
+                        [jnp.zeros((s, LANES), jnp.int32), t[:-s, :]],
+                        axis=0,
+                    )
+                    s *= 2
+                grank = t + col
+                ncr = jnp.where(cand | ~valid, NEG, grank)
+                last_nonc = _max_scan_flat(ncr)
+                hit = cand & (((grank - last_nonc) & 1) == 1)
+                hit32 = hit.astype(jnp.int32)
 
-                @pl.when(nt < 256 + M)
+                killed_in = jnp.concatenate(
+                    [jnp.zeros((R, 1), jnp.int32), hit32[:, :-1]], axis=1
+                )
+                ehit = jnp.sum(
+                    (hit & is_lastvalid).astype(jnp.int32), axis=1,
+                    keepdims=True,
+                )
+                ke = jnp.concatenate(
+                    [jnp.zeros((1, LANES), jnp.int32),
+                     jnp.broadcast_to(ehit, (R, LANES))[:-1, :]], axis=0,
+                )
+                killed = ((killed_in == 1) | ((col == 0) & (ke >= 1))) & valid
+                written = jnp.where(hit, nt0, tok)
+                commit(written, killed, valid)
+
+                @pl.when(nt0 < 256 + M)
                 def _mark():
-                    present[nt >> 5] = present[nt >> 5] | (1 << (nt & 31))
+                    present[nt0 >> 5] = present[nt0 >> 5] | (1 << (nt0 & 31))
 
+        pl.when(any_maybe & ~parity_single)(fused_pass)
+        pl.when(any_maybe & parity_single)(parity_pass)
         return 0
 
-    jax.lax.fori_loop(0, M, body, 0)
-    out_ref[:] = buf[:]
+    jax.lax.fori_loop(0, P, body, 0)
+    # emit the batch API's contract: one global prefix per document row
+    out_ref[:] = flat_recompact(buf[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def encode_rows_pallas(tokens: jax.Array, merges: jax.Array, *,
-                       interpret: bool = False):
-    """Replay the (M, 3) merge table over a [B, L] batch of padded rows —
-    each row one document, reference semantics per row
-    (basic_tokenizer.zig:71-88). Returns (tokens', lengths) with rows
-    prefix-compacted. L must be a multiple of 128 with L/128 in [8, 256]."""
+def encode_rows_grouped(tokens: jax.Array, gtable: jax.Array,
+                        glens: jax.Array, *, interpret: bool = False):
+    """Replay a GROUPED merge table (see :func:`group_merges`) over a
+    [B, L] batch of padded rows — each row one document, reference
+    semantics per row (basic_tokenizer.zig:71-88). Returns
+    (tokens', lengths) with rows prefix-compacted. L must be a multiple of
+    128 with L/128 in [8, 256]."""
     B, L = tokens.shape
     R = L // LANES
     if L % LANES or not (8 <= R <= 256):
         raise ValueError(f"row length {L} must be 128*R with 8 <= R <= 256")
-    M = merges.shape[0]
-    table = merges.reshape(-1)
+    P, cap, _ = gtable.shape
+    M = P * cap  # bitmap bound: >= true merge count, same skip soundness
+    table = gtable.reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, R, LANES), lambda i, *_: (i, 0, 0),
@@ -172,24 +393,45 @@ def encode_rows_pallas(tokens: jax.Array, merges: jax.Array, *,
         out_specs=pl.BlockSpec((1, R, LANES), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R, LANES), jnp.int32),
-            pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),  # buf
+            pltpu.VMEM((R, LANES), jnp.int32),  # nxtbuf
+            pltpu.VMEM((R, LANES), jnp.int32),  # work
+            pltpu.VMEM((R, LANES), jnp.int32),  # wbuf
+            pltpu.VMEM((R, LANES), jnp.int32),  # aubuf
+            pltpu.VMEM((R, LANES), jnp.int32),  # hbuf
             # bitmap sized to the largest id the table can mint (<= u16 cap)
             pltpu.SMEM((max((256 + M + 31) // 32, 8),), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
 
-    def kernel(table, tok_ref, out_ref, buf, work, present):
+    def kernel(table, glens, tok_ref, out_ref, buf, nxtbuf, work, wbuf,
+               aubuf, hbuf, present, flags):
         _encode_kernel(
-            table, tok_ref.at[0], out_ref.at[0], buf, work, present, R=R, M=M
+            table, glens, tok_ref.at[0], out_ref.at[0], buf, nxtbuf, work,
+            wbuf, aubuf, hbuf, present, flags, R=R, M=M, P=P, cap=cap,
         )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.int32),
-        input_output_aliases={1: 0},
+        input_output_aliases={2: 0},
         interpret=interpret,
-    )(table, tokens.reshape(B, R, LANES))
+    )(table, glens, tokens.reshape(B, R, LANES))
     out = out.reshape(B, L)
     return out, jnp.sum((out >= 0).astype(jnp.int32), axis=1)
+
+
+def encode_rows_pallas(tokens: jax.Array, merges, *, cap: int = 16,
+                       interpret: bool = False):
+    """Convenience wrapper: host-group the (M, 3) merge table (NumPy — the
+    grouping is trace-time work) and replay it. Callers on a hot path
+    should cache :func:`group_merges` output and call
+    :func:`encode_rows_grouped` directly."""
+    import numpy as np
+
+    gtable, glens = group_merges(np.asarray(merges), cap=cap)
+    return encode_rows_grouped(
+        tokens, jnp.asarray(gtable), jnp.asarray(glens), interpret=interpret
+    )
