@@ -41,12 +41,24 @@ def main():
     sync(tokens)
     upload_s = time.perf_counter() - t0
 
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
     merges = train_mod.train_device(
-        tokens, length, vocab, length_host=len(data), ub_seed_block=ub_block
+        jnp.copy(tokens), length, vocab, length_host=len(data),
+        ub_seed_block=ub_block,
     )
     train_s = time.perf_counter() - t0
     assert len(merges) == n_merges, len(merges)
+
+    # warm steady-state (everything compiled): the production number for a
+    # long-lived trainer process / persistent-cache hit
+    t0 = time.perf_counter()
+    merges2 = train_mod.train_device(
+        tokens, length, vocab, length_host=len(data), ub_seed_block=ub_block
+    )
+    warm_s = time.perf_counter() - t0
+    assert merges2 == merges
 
     # merges.txt serde round trip (the conformance interchange artifact)
     serde.save(merges, "/tmp/config2_merges.txt")
@@ -64,17 +76,23 @@ def main():
                       file=sys.stderr)
                 break
 
-    print(json.dumps({
+    result = {
         "metric": f"config2_train_{n_merges}merges_{mb}MB",
-        "value": round(len(data) / train_s / 1e6, 3),
+        "value": round(len(data) / warm_s / 1e6, 3),
         "unit": "MB/s/chip",
-        "train_s": round(train_s, 2),
+        "warm_s": round(warm_s, 2),
+        "cold_s": round(train_s, 2),
+        "cold_mbps": round(len(data) / train_s / 1e6, 3),
         "upload_s": round(upload_s, 2),
         "serde_roundtrip": True,
         "conforms_to_native": bool(conform),
         "native_s": round(native_s, 2),
         "native_mbps": round(len(data) / native_s / 1e6, 3),
-    }))
+        "vs_native": round(native_s / warm_s, 2),
+    }
+    print(json.dumps(result))
+    with open("CONFIG2_r4.json", "w") as f:
+        f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":

@@ -151,7 +151,7 @@ def test_train_chunk_matches_oracle():
     assert int(length) == len(oracle.encode(data, want))
 
 
-def test_count_pair_and_xrow_counts():
+def test_count_pair():
     rng = np.random.default_rng(4)
     data = bytes(rng.integers(97, 101, 3000, dtype=np.uint8))
     V = 300
@@ -159,10 +159,6 @@ def test_count_pair_and_xrow_counts():
     hist = np.asarray(core.pair_histogram(arr, V)).reshape(V, V)
     for a, b in [(97, 98), (98, 97), (100, 100), (1, 2)]:
         assert int(core.count_pair(arr, a, b)) == hist[a, b]
-    for x in (97, 99, 250):
-        row, col = core.xrow_counts(arr, x, V, chunk=512)
-        assert np.asarray(row).tolist() == hist[x, :].tolist()
-        assert np.asarray(col).tolist() == hist[:, x].tolist()
 
 
 def test_select_top_pair_lazy_matches_sorted():

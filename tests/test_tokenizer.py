@@ -115,6 +115,7 @@ def test_large_vocab_sorted_path_end_to_end():
     assert 9000 > train_mod.LAZY_VOCAB_MAX
     got = train_mod.train(data, 9000)
     assert got == oracle.train(data, 9000)
+    assert len(got) > 500  # the sorted path did real selection work
 
 
 def test_large_vocab_sorted_path_with_checkpoint(tmp_path):

@@ -30,8 +30,6 @@ All functions are pure, fixed-shape, and jit/scan/while_loop friendly.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
@@ -224,62 +222,6 @@ def count_pair(tokens: jax.Array, first, second,
     return jnp.sum(((a == first) & (b == second) & (b >= 0)).astype(jnp.int32))
 
 
-def xrow_counts(tokens: jax.Array, x, vocab_size: int, chunk: int = 1 << 15):
-    """Exact histograms of the pairs involving token ``x``: returns
-    (row, col) int32[V] with row[v] = count of (x, v) and col[v] = count
-    of (v, x) over the PAD-tailed prefix stream.
-
-    TPU-native binning without scatter: per corpus chunk, build
-    digit-decomposed one-hots — hi = value >> 7 as a (chunk, V/128)
-    matrix, lo = value & 127 as a (chunk, 128) matrix — and accumulate
-    masked outer products on the MXU: counts2d += (hi_onehot * mask)^T @
-    lo_onehot. Compare cost is O(N * (V/128 + 128)) instead of O(N * V);
-    f32 accumulation is exact for counts < 2^24.
-    """
-    V = vocab_size
-    Vh = -(-V // 128)  # ceil; bins padded to a multiple of 128
-    N = tokens.shape[0]
-    if N % chunk:
-        chunk = math.gcd(N, chunk) if N > 0 else 1
-    steps = max(N // chunk, 1)
-
-    nxt = jnp.roll(tokens, -1).at[-1].set(PAD)
-    tok_c = tokens.reshape(steps, chunk)
-    nxt_c = nxt.reshape(steps, chunk)
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Vh), 1)
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-
-    def onehots(v):
-        col = v[:, None]
-        hi = (jnp.where(col >= 0, col >> 7, -1) == hi_iota).astype(jnp.bfloat16)
-        lo = ((col & 127) == lo_iota).astype(jnp.bfloat16)
-        lo = jnp.where((col >= 0), lo, 0)
-        return hi, lo
-
-    def step(acc, inp):
-        row_acc, col_acc = acc
-        tok, nx = inp
-        hi_n, lo_n = onehots(nx)
-        hi_t, lo_t = onehots(tok)
-        m_row = ((tok == x) & (nx >= 0)).astype(jnp.bfloat16)[:, None]
-        m_col = (nx == x).astype(jnp.bfloat16)[:, None]
-        row_acc = row_acc + jax.lax.dot_general(
-            hi_n * m_row, lo_n, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        col_acc = col_acc + jax.lax.dot_general(
-            hi_t * m_col, lo_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (row_acc, col_acc), None
-
-    init = (jnp.zeros((Vh, 128), jnp.float32), jnp.zeros((Vh, 128), jnp.float32))
-    (row2d, col2d), _ = jax.lax.scan(step, init, (tok_c, nxt_c))
-    row = row2d.reshape(-1)[:V].astype(jnp.int32)
-    col = col2d.reshape(-1)[:V].astype(jnp.int32)
-    return row, col
-
-
 def rowmax_of(ub: jax.Array, vocab_size: int) -> jax.Array:
     """Exact per-row maximum of the flat V*V upper-bound table — the pop
     cache consumed by select_top_pair_lazy."""
@@ -330,7 +272,7 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
         rowmax = jnp.max(u2, axis=1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
     col_iota = row_iota
-    nver = batch + (2 * hot_batch if hot is not None else 0)
+    nver = 2 * batch + 1 + (2 * hot_batch if hot is not None else 0)
     if count_fn is None:
         sa, sb = pair_streams(tokens, layout_block)
         # verify compares against ONE packed stream when V*V fits int32 (one
@@ -357,46 +299,41 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
 
     def round_(state):
         u2, rm, _, _, _, _ = state
-        # top-`batch` bins by (count, first, second): argmax over the row
-        # cache picks the row, a row slice picks the column. Popped entries
-        # are excluded via the (tiny) popped list, never by writing the
-        # V^2 table.
-        pa = jnp.full((nver,), -1, jnp.int32)
-        pb = jnp.full((nver,), -1, jnp.int32)
-        rm_t = rm
-        for j in range(batch):
-            c = jnp.max(rm_t)
-            a = jnp.max(jnp.where(rm_t == c, row_iota, -1))
-            row = jax.lax.dynamic_slice(u2, (a, 0), (1, V))[0]
-            for jj in range(j):  # mask already-popped entries of this row
-                row = jnp.where((pa[jj] == a) & (col_iota == pb[jj]), -1, row)
-            # pop the row's TRUE argmax column (always >= 0), not the column
-            # equal to the cached max: a stale-high rowmax entry (allowed by
-            # the overestimate contract) would otherwise find no match and
-            # wrap b=-1 into column V-1 via dynamic_update_slice
-            rmax = jnp.max(row)
-            b = jnp.max(jnp.where(row == rmax, col_iota, -1))
-            pa = pa.at[j].set(a)
-            pb = pb.at[j].set(b)
-            row = jnp.where(col_iota == b, -1, row)
-            rm_t = rm_t.at[a].set(jnp.max(row))
+        # verify set: the top-`batch` rows by the row cache (one chain-free
+        # lax.top_k instead of sequential masked argmaxes), then the top-2
+        # entries of each selected row in one batched top_k. The verify SET
+        # doesn't need exact pop order — only the final argmax check below
+        # realises the tie-break — so cheap approximate popping is sound.
+        _, rows_idx = jax.lax.top_k(rm, batch)
+        rows_mat = jnp.concatenate(
+            [jax.lax.dynamic_slice(u2, (rows_idx[j], 0), (1, V))
+             for j in range(batch)], axis=0,
+        )  # (batch, V)
+        _, cols2 = jax.lax.top_k(rows_mat, 2)
+        pa_parts = [jnp.repeat(rows_idx, 2)]
+        pb_parts = [cols2.reshape(-1)]
         if hot is not None:
             # eager hot-row/col pops: the freshest bounds are the stalest
             hr = jnp.clip(jnp.asarray(hot, jnp.int32), 0, V - 1)
             hrow = jax.lax.dynamic_slice(u2, (hr, 0), (1, V))[0]
-            for j in range(hot_batch):
-                c = jnp.max(hrow)
-                b = jnp.max(jnp.where(hrow == c, col_iota, -1))
-                pa = pa.at[batch + j].set(hr)
-                pb = pb.at[batch + j].set(b)
-                hrow = jnp.where(col_iota == b, -1, hrow)
+            _, hcols = jax.lax.top_k(hrow, hot_batch)
             hcol = jax.lax.dynamic_slice(u2, (0, hr), (V, 1))[:, 0]
-            for j in range(hot_batch):
-                c = jnp.max(hcol)
-                a = jnp.max(jnp.where(hcol == c, row_iota, -1))
-                pa = pa.at[batch + hot_batch + j].set(a)
-                pb = pb.at[batch + hot_batch + j].set(hr)
-                hcol = jnp.where(row_iota == a, -1, hcol)
+            _, hrows = jax.lax.top_k(hcol, hot_batch)
+            pa_parts += [jnp.full((hot_batch,), hr, jnp.int32), hrows]
+            pb_parts += [hcols, jnp.full((hot_batch,), hr, jnp.int32)]
+        # ALWAYS include the exact tie-break candidate (largest row among
+        # max rows, largest col at the row max): top_k breaks ties by
+        # SMALLEST index, so with 3+ tied entries the checked candidate
+        # could otherwise never enter the verify set and the loop would
+        # spin on already-exact values.
+        c0m = jnp.max(rm)
+        a0m = jnp.max(jnp.where(rm == c0m, row_iota, -1))
+        row0m = jax.lax.dynamic_slice(u2, (a0m, 0), (1, V))[0]
+        b0m = jnp.max(jnp.where(row0m == c0m, col_iota, -1))
+        pa_parts += [a0m.reshape(1)]
+        pb_parts += [jnp.maximum(b0m, 0).reshape(1)]
+        pa = jnp.concatenate(pa_parts)
+        pb = jnp.concatenate(pb_parts)
         # one corpus pass verifies all of them exactly (the masked
         # reductions over the same stream fuse into one traversal)
         exact = count_fn(pa, pb)

@@ -275,7 +275,8 @@ def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
         )
     else:
         ta, tb, cnt, ub, rm = _dp_select_lazy(
-            ub, rm, tokens, vocab_size=V, hot=VOCAB_START + k - 1
+            ub, rm, tokens, vocab_size=V, hot=VOCAB_START + k - 1,
+            batch=16 if V > 1024 else 8,
         )
     new_id = VOCAB_START + k
 

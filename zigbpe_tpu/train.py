@@ -338,7 +338,7 @@ def train_device(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every_chunks: int = 4,
     detailed_stats: bool = False,
-    select_batch: int = 8,
+    select_batch: Optional[int] = None,
 ) -> List[Merge]:
     """Run the training chunk loop on an already device-resident corpus
     (see :func:`upload`). This is the compute path of :func:`train`,
@@ -350,6 +350,12 @@ def train_device(
     one host sync per phase per round — use for profiling, not production.
     """
     M = vocab_size - core.VOCAB_START
+    if select_batch is None:
+        # deep tables churn many near-top stale bounds per round (counts
+        # flatten), so verify more entries per pass; shallow tables converge
+        # in ~1 pass and prefer the cheaper one (A/B: 8 MB / 1024 merges
+        # 2.96 -> 3.81 MB/s at 16; headline unchanged at 8)
+        select_batch = 16 if vocab_size > 1024 else 8
     if merges is None:
         merges = jnp.full((M, 3), core.PAD, jnp.int32)
     if occupancy is None:
