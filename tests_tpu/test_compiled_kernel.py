@@ -34,11 +34,14 @@ def _run_kernel(tokens_list, first, second, new_token, capacity=32768):
         jnp.asarray(buf), first, second, new_token
     )
     out = np.asarray(out)
-    # layout contract: every kernel block is a valid prefix
-    for g, row in enumerate(out.reshape(-1, BLOCK)):
+    # layout contract: every 128-lane ROW is a valid prefix
+    # (ops/pallas/merge.py row-local layout)
+    from zigbpe_tpu.ops.pallas import LAYOUT
+
+    for g, row in enumerate(out.reshape(-1, LAYOUT)):
         n = int((row >= 0).sum())
         assert (row[:n] >= 0).all() and (row[n:] < 0).all(), (
-            f"block {g} is not a valid prefix"
+            f"row {g} is not a valid prefix"
         )
     return out[out >= 0].tolist(), int(stats[0])
 
