@@ -83,18 +83,29 @@ def _compact_bitmove(val, keep, dest, nkilled, work_ref):
 
 def group_merges(merges, cap: int = 16):
     """Host-side: greedily group CONSECUTIVE merge-table entries that can
-    replay in ONE fused pass. Entries i < j fuse when every pair is
-    distinct, no member has a == b (the overlap-parity case stays a
-    singleton), and no member's (a, b) references an earlier member's
-    minted token. Soundness: within such a group, every adjacency CREATED
-    by an earlier member has that member's minted token on its left, so a
-    later member's candidates on the evolved stream are exactly its
-    original-stream candidates restricted to alive-and-unchanged slots —
-    which is what the fused kernel computes. Sequential replay semantics
-    (basic_tokenizer.zig:71-88) are preserved bit-exactly.
+    replay SIMULTANEOUSLY in one fused pass. Entries i != j fuse when every
+    pair is distinct, no member has a == b (the overlap-parity case stays a
+    singleton), no member's (a, b) references a group member's minted
+    token, and the group is CHAIN-FREE: no member's b equals another
+    member's a.
 
-    Real 1K-merge text tables fuse well (measured: cap=16 gives ~105 fused
-    passes for 1024 merges; 32 MB batched replay 21.6 -> 38.1 MB/s).
+    Soundness (why simultaneous == sequential here): (1) no member can
+    DESTROY another's candidate — a destroyed candidate would need one of
+    its two tokens hit or killed by another member, and every such case
+    forces a == a' with b == b' (distinct pairs), b_i == a_j, or
+    a_i == b_j, all excluded; (2) no member can CREATE another's candidate
+    — every adjacency created by a merge has that member's minted token on
+    its left, and minted tokens are never referenced in-group; (3) within
+    one member, a != b makes candidates non-overlapping, so leftmost-greedy
+    fires all of them. Hence applying all members' original-stream
+    candidates at once reproduces sequential replay
+    (basic_tokenizer.zig:71-88) bit-exactly.
+
+    Real 1K-merge text tables fuse well (measured: cap=16 gives ~122
+    chain-free passes for 1024 merges vs ~105 for the weaker
+    minted-independence condition — but chain-freedom removes the
+    per-member alive-mask chain from the kernel, ~2.4x less work per
+    member).
 
     Returns (gtable int32[P, cap, 3] PAD-filled, glens int32[P]).
     """
@@ -108,13 +119,21 @@ def group_merges(merges, cap: int = 16):
         g = 1
         minted = {int(t[i, 2])}
         pairs = {(int(t[i, 0]), int(t[i, 1]))}
+        a_set = {int(t[i, 0])}
+        b_set = {int(t[i, 1])}
         ok = t[i, 0] != t[i, 1] and t[i, 2] >= 0
         while ok and g < cap and i + g < n:
             a, b, x = (int(v) for v in t[i + g])
-            if a == b or x < 0 or (a, b) in pairs or a in minted or b in minted:
+            if (
+                a == b or x < 0 or (a, b) in pairs
+                or a in minted or b in minted
+                or a in b_set or b in a_set  # chain-freedom
+            ):
                 break
             minted.add(x)
             pairs.add((a, b))
+            a_set.add(a)
+            b_set.add(b)
             g += 1
         groups.append(g)
         i += g
@@ -136,7 +155,6 @@ def _encode_kernel(
     nxtbuf,    # VMEM (R, 128) scratch: cached next-token view
     work,      # VMEM (R, 128) scratch: bit-move staging
     wbuf,      # VMEM (R, 128) scratch: written values accumulator
-    aubuf,     # VMEM (R, 128) scratch: alive-and-unchanged mask (int32)
     hbuf,      # VMEM (R, 128) scratch: hit mask accumulator (int32)
     present,   # SMEM int32[words] token-presence bitmap (256 + M ids)
     flags,     # SMEM int32[1]: nxt cache dirty?
@@ -233,21 +251,16 @@ def _encode_kernel(
                 flags[0] = 0
 
         def fused_pass():
-            """All-members-independent group (every a != b): each member's
-            candidates are its original-stream candidates restricted to
-            alive-and-unchanged slots (see group_merges soundness note);
-            ONE compaction commits the whole group."""
+            """Chain-free group (see group_merges): every member's
+            candidates are exactly its original-stream candidates — no
+            member can create or destroy another's — so all members apply
+            SIMULTANEOUSLY and ONE compaction commits the whole group."""
             tok = buf[:]
             valid = tok >= 0
             rebuild_nxt(tok, valid)
             nxt = nxtbuf[:]
-            nxt_in = jnp.concatenate(
-                [tok[:, 1:], jnp.full((R, 1), PAD, tok.dtype)], axis=1
-            )
-            is_lv32 = (valid & (nxt_in < 0)).astype(jnp.int32)
 
             wbuf[:] = tok
-            aubuf[:] = valid.astype(jnp.int32)
             hbuf[:] = jnp.zeros((R, LANES), jnp.int32)
 
             for j in range(cap):
@@ -255,54 +268,41 @@ def _encode_kernel(
 
                 @pl.when(member_maybe(j))
                 def _member(aj=aj, bj=bj, ntj=ntj):
-                    au = aubuf[:]
-                    au_hn = jnp.concatenate(
-                        [jnp.broadcast_to(au[:, :1], (R, LANES))[1:, :],
-                         jnp.zeros((1, LANES), jnp.int32)], axis=0,
-                    )
-                    au_sh = jnp.concatenate(
-                        [au[:, 1:], jnp.zeros((R, 1), jnp.int32)], axis=1
-                    )
-                    aup = jnp.where(is_lv32 == 1, au_hn, au_sh)
-                    candj = (
-                        (tok == aj) & (nxt == bj) & (nxt >= 0)
-                        & (au == 1) & (aup == 1)
-                    ).astype(jnp.int32)
+                    # tok == aj implies valid (aj >= 0 for live members)
+                    candj = (tok == aj) & (nxt == bj) & (nxt >= 0)
+                    wbuf[:] = jnp.where(candj, ntj, wbuf[:])
+                    hbuf[:] = hbuf[:] + candj.astype(jnp.int32)
 
-                    @pl.when(jnp.sum(candj) > 0)
-                    def _fire():
-                        killedj = jnp.concatenate(
-                            [jnp.zeros((R, 1), jnp.int32), candj[:, :-1]],
-                            axis=1,
+                    @pl.when(
+                        (jnp.sum(candj.astype(jnp.int32)) > 0)
+                        & (ntj < 256 + M)
+                    )
+                    def _mark():
+                        present[ntj >> 5] = (
+                            present[ntj >> 5] | (1 << (ntj & 31))
                         )
-                        ehitj = jnp.sum(candj * is_lv32, axis=1,
-                                        keepdims=True)
-                        kej = jnp.concatenate(
-                            [jnp.zeros((1, LANES), jnp.int32),
-                             jnp.broadcast_to(ehitj, (R, LANES))[:-1, :]],
-                            axis=0,
-                        )
-                        killedj = killedj + ((col == 0) & (kej >= 1)).astype(
-                            jnp.int32
-                        )
-                        wbuf[:] = jnp.where(candj == 1, ntj, wbuf[:])
-                        hbuf[:] = hbuf[:] + candj
-                        aubuf[:] = au * (1 - candj) * (1 - killedj)
-
-                        @pl.when(ntj < 256 + M)
-                        def _mark():
-                            present[ntj >> 5] = (
-                                present[ntj >> 5] | (1 << (ntj & 31))
-                            )
 
             hb = hbuf[:]
 
             @pl.when(jnp.sum(hb) > 0)
             def _commit():
-                au = aubuf[:]
-                written = wbuf[:]
-                killed = valid & (au == 0) & (hb == 0)
-                commit(written, killed, valid)
+                # hb is 0/1: distinct members' candidates never share a
+                # position (chain-freedom). Kills: within-row partner of
+                # any hit, plus the next row's head for edge hits.
+                nxt_in = jnp.concatenate(
+                    [tok[:, 1:], jnp.full((R, 1), PAD, tok.dtype)], axis=1
+                )
+                is_lv32 = (valid & (nxt_in < 0)).astype(jnp.int32)
+                killed_in = jnp.concatenate(
+                    [jnp.zeros((R, 1), jnp.int32), hb[:, :-1]], axis=1
+                )
+                ehit = jnp.sum(hb * is_lv32, axis=1, keepdims=True)
+                ke = jnp.concatenate(
+                    [jnp.zeros((1, LANES), jnp.int32),
+                     jnp.broadcast_to(ehit, (R, LANES))[:-1, :]], axis=0,
+                )
+                killed = ((killed_in == 1) | ((col == 0) & (ke >= 1))) & valid
+                commit(wbuf[:], killed, valid)
 
         def parity_pass():
             """Singleton a == b group: leftmost-greedy overlap parity on
@@ -397,7 +397,6 @@ def encode_rows_grouped(tokens: jax.Array, gtable: jax.Array,
             pltpu.VMEM((R, LANES), jnp.int32),  # nxtbuf
             pltpu.VMEM((R, LANES), jnp.int32),  # work
             pltpu.VMEM((R, LANES), jnp.int32),  # wbuf
-            pltpu.VMEM((R, LANES), jnp.int32),  # aubuf
             pltpu.VMEM((R, LANES), jnp.int32),  # hbuf
             # bitmap sized to the largest id the table can mint (<= u16 cap)
             pltpu.SMEM((max((256 + M + 31) // 32, 8),), jnp.int32),
@@ -406,10 +405,10 @@ def encode_rows_grouped(tokens: jax.Array, gtable: jax.Array,
     )
 
     def kernel(table, glens, tok_ref, out_ref, buf, nxtbuf, work, wbuf,
-               aubuf, hbuf, present, flags):
+               hbuf, present, flags):
         _encode_kernel(
             table, glens, tok_ref.at[0], out_ref.at[0], buf, nxtbuf, work,
-            wbuf, aubuf, hbuf, present, flags, R=R, M=M, P=P, cap=cap,
+            wbuf, hbuf, present, flags, R=R, M=M, P=P, cap=cap,
         )
 
     out = pl.pallas_call(
