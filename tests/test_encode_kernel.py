@@ -64,3 +64,10 @@ def test_pad_rows_in_table_are_noops():
     got = _run([b"abcabc"], merges)
     want = oracle.encode(b"abcabc", [(97, 98, 256), (256, 99, 257)])
     assert got[0] == want
+
+
+def test_empty_merge_table():
+    # P == 0 grouped table (round-4 advisor): the public function must
+    # return the rows unchanged instead of building a degenerate grid
+    got = _run([b"abcabc", b""], np.zeros((0, 3), np.int32))
+    assert got == [[97, 98, 99, 97, 98, 99], []]

@@ -146,6 +146,53 @@ def test_min_kept_ignores_last_nonempty_row():
     assert int((rows[1] >= 0).sum()) == 1
 
 
+def test_min_kept_folds_deferred_row_across_skipped_blocks():
+    # Round-4 advisor (high): if a processed block's LAST non-empty row
+    # drains to <= 1 and every later non-empty block takes a fast path
+    # (pair absent there), the deferred carry must still fold into
+    # min_kept — otherwise the trainer skips recompaction and a later
+    # round can empty that now-interior row.
+    import jax.numpy as jnp
+
+    arr = np.full(2048, -1, np.int32)  # 2 grid blocks at block_rows=8
+    arr = arr.reshape(16, 128)
+    arr[:7] = 99                      # block 0 rows 0-6: full 'c' rows
+    arr[7, :2] = 97                   # block 0 last row: just "aa"
+    arr[8:] = 100                     # block 1: full 'd' rows (no 'a'/'b')
+    arr = jnp.asarray(arr.reshape(-1))
+
+    got, stats = pm.merge_pass_pallas(arr, 97, 97, 256, block_rows=8,
+                                      interpret=True)
+    want = [99] * 896 + [256] + [100] * 1024
+    assert logical(got) == want
+    # row 7 drained to one token and block 1 (skipped) is non-empty after
+    # it, so row 7 is interior: min_kept must report the drain
+    assert int(stats[2]) == 1
+
+
+def test_min_kept_folds_deferred_row_across_idle_blocks():
+    # Same as above but the later block takes the IDLE fast path (both
+    # tokens present, never adjacent) instead of the presence skip.
+    import jax.numpy as jnp
+
+    arr = np.full(2048, -1, np.int32)
+    arr = arr.reshape(16, 128)
+    arr[:7] = 99
+    arr[7, :2] = 97                   # "aa" -> drains to 1
+    arr[8:] = 100
+    arr[8:, ::2] = 97                 # 'a' present in block 1, never "aa"
+    arr = jnp.asarray(arr.reshape(-1))
+
+    got, stats = pm.merge_pass_pallas(arr, 97, 97, 256, block_rows=8,
+                                      interpret=True)
+    stream = np.asarray(arr)
+    stream = stream[stream >= 0].tolist()
+    import zigbpe_tpu.models.oracle as oracle
+
+    assert logical(got) == oracle.merge_pass(stream, 97, 97, 256)
+    assert int(stats[2]) == 1
+
+
 def test_encode_replay_pallas_recompacts_drained_interior_blocks():
     # Chained doubling merges drain whole blocks to 1 token and then to 0
     # (kill-first carry across the block edge); the replay path must

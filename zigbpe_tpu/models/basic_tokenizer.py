@@ -56,13 +56,11 @@ def _encode_jit(use_pallas: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def _encode_batch_jit(use_pallas: bool = False):
+def _encode_batch_jit():
+    # XLA fallback path only; the Pallas path goes through the cached
+    # grouped table + encode_rows_grouped in encode_batch (re-grouping the
+    # table per call would be silent trace-time overhead).
     import jax
-
-    if use_pallas:
-        from ..ops.pallas import encode as pe
-
-        return pe.encode_rows_pallas  # wrapper: host-groups, then replays
 
     from ..ops import encode_batch as eb
 
@@ -187,7 +185,7 @@ class BasicTokenizer:
                 self._grouped_merges = (jnp.asarray(gt), jnp.asarray(gl))
             out, lengths = pe.encode_rows_grouped(tokens, *self._grouped_merges)
         else:
-            out, lengths = _encode_batch_jit(False)(tokens, self._device_merges)
+            out, lengths = _encode_batch_jit()(tokens, self._device_merges)
         out = np.asarray(out)
         lengths = np.asarray(lengths)
         return [out[i, : lengths[i]].tolist() for i in range(len(docs))]

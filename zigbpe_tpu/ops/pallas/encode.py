@@ -380,6 +380,8 @@ def encode_rows_grouped(tokens: jax.Array, gtable: jax.Array,
     if L % LANES or not (8 <= R <= 256):
         raise ValueError(f"row length {L} must be 128*R with 8 <= R <= 256")
     P, cap, _ = gtable.shape
+    if P == 0:  # empty merge table: rows are already their own encodings
+        return tokens, jnp.sum((tokens >= 0).astype(jnp.int32), axis=1)
     M = P * cap  # bitmap bound: >= true merge count, same skip soundness
     table = gtable.reshape(-1)
 

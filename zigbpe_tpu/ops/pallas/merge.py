@@ -293,10 +293,23 @@ def _merge_kernel(
     # (the trainer recompacts whenever min_kept drops to <= 1), so an
     # unchanged row can never be the one that trips the flag.
     has_a = jnp.any(valid & (tok == a))
-    has_b = jnp.any(valid & (tok == b)) | (nxt_ref[0, 0] == b)
+    has_b = jnp.any(valid & (tok == b)) | ((i != G - 1) & (nxt_ref[0, 0] == b))
     full = (carry[1] == 1) | (has_a & has_b)
 
+    def _fold_deferred():
+        # This block is non-empty, so the deferred row (last non-empty row of
+        # the last block that computed populations) is INTERIOR — fold it into
+        # min_kept now. This block's own rows are unchanged by a skip/idle
+        # path: its interior rows entered the round with >= 2 tokens (the
+        # trainer recompacts at min_kept <= 1) so they can't trip the flag,
+        # and its last non-empty row either stays the stream tail (excluded
+        # by design) or is folded as >= 2-safe the same way. Resetting the
+        # deferral to BIG is therefore sound.
+        carry[5] = jnp.minimum(carry[5], carry[8])
+        carry[8] = BIG
+
     def _skip():
+        _fold_deferred()
         carry[0] = carry[2] + L - 1  # all tokens are non-candidates
         carry[2] = carry[2] + L
         carry[4] = carry[4] + L
@@ -329,6 +342,7 @@ def _merge_kernel(
         # carry) — the block is untouched; skip kills/compaction/min_kept
         @pl.when(~act)
         def _idle():
+            _fold_deferred()
             carry[0] = carry[2] + L - 1  # all tokens are non-candidates
             carry[2] = carry[2] + L
             carry[4] = carry[4] + L
