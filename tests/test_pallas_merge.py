@@ -198,7 +198,6 @@ def test_encode_replay_pallas_recompacts_drained_interior_blocks():
     # (kill-first carry across the block edge); the replay path must
     # re-establish a global prefix when that happens, or later merges
     # spanning the gap are silently skipped (round-3 advisor finding).
-    from jax.experimental.pallas import tpu as pltpu
     import jax.numpy as jnp
 
     B = 256 * 128  # merge kernel block (default block_rows)
@@ -210,8 +209,7 @@ def test_encode_replay_pallas_recompacts_drained_interior_blocks():
     marr = jnp.asarray(np.asarray(merges, np.int32))
 
     arr, _ = core.pad_tokens(data, 3 * B)
-    with pltpu.force_tpu_interpret_mode():
-        out, length = core.encode_replay(arr, marr, use_pallas=True)
+    out, length = core.encode_replay(arr, marr, use_pallas=True, interpret=True)
     got = np.asarray(out)[: int(length)].tolist()
 
     import zigbpe_tpu.models.oracle as oracle

@@ -567,7 +567,8 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
     return toks, L, u, mg, occ, k, flag
 
 
-def encode_replay(tokens: jax.Array, merges: jax.Array, use_pallas: bool = False):
+def encode_replay(tokens: jax.Array, merges: jax.Array, use_pallas: bool = False,
+                  interpret: bool = False):
     """Encode by replaying the merge table in training order
     (basic_tokenizer.zig:71-88): one greedy pass + compaction per merge,
     as a ``lax.scan`` over the (M, 3) merge table. PAD rows are no-ops.
@@ -588,7 +589,9 @@ def encode_replay(tokens: jax.Array, merges: jax.Array, use_pallas: bool = False
 
         def do(t):
             if use_pallas:
-                out, stats = pallas_merge.merge_pass_pallas(t, ta, tb, new_id)
+                out, stats = pallas_merge.merge_pass_pallas(
+                    t, ta, tb, new_id, interpret=interpret
+                )
                 # Layout contract (ops/pallas/merge.py): an interior block
                 # drained to <= 1 token may break next-block adjacency
                 # peeking on the following pass; re-establish a global
