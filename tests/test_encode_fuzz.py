@@ -73,8 +73,19 @@ def test_fuzz_grouped_encode_vs_oracle(seed):
         buf[i, : len(d)] = np.frombuffer(d, np.uint8)
 
     cap = int(rng.choice([4, 8, 16]))
-    out, lens = pe.encode_rows_pallas(
-        jnp.asarray(buf), np.asarray(table, np.int32), cap=cap, interpret=True
+    # Pad the grouped table to a FIXED group count so all seeds share one
+    # compiled program per cap (padded groups have glen == 0 and PAD rows:
+    # provable no-ops). 50 distinct interpret-mode compilations otherwise
+    # bloat XLA CPU process state until a later large compile segfaults.
+    gt, gl = pe.group_merges(np.asarray(table, np.int32), cap=cap)
+    PMAX = 32
+    assert gt.shape[0] <= PMAX
+    gt_p = np.full((PMAX, cap, 3), -1, np.int32)
+    gt_p[: gt.shape[0]] = gt
+    gl_p = np.zeros((PMAX,), np.int32)
+    gl_p[: gl.shape[0]] = gl
+    out, lens = pe.encode_rows_grouped(
+        jnp.asarray(buf), jnp.asarray(gt_p), jnp.asarray(gl_p), interpret=True
     )
     out, lens = np.asarray(out), np.asarray(lens)
     for i, d in enumerate(docs):

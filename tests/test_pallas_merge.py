@@ -217,3 +217,70 @@ def test_encode_replay_pallas_recompacts_drained_interior_blocks():
     want = oracle.encode(data, merges)
     assert got == want
     assert got[0] == 272  # the cross-gap merge actually fired
+
+
+def _multi_check(data, table, cap, block_rows=8):
+    """merge_pass_pallas_multi (interpret) vs sequential oracle replay."""
+    import jax.numpy as jnp
+    import zigbpe_tpu.models.oracle as oracle
+
+    arr, _ = core.pad_tokens(data, cap)
+    t = jnp.asarray(np.asarray(table, np.int32).reshape(-1, 3))
+    got, stats = pm.merge_pass_pallas_multi(arr, t, block_rows=block_rows,
+                                            interpret=True)
+    stream = list(data)
+    K = len(table)
+    for m in range(K):
+        a, b, x = table[m]
+        if x >= 0 and a >= 0:
+            stream = oracle.merge_pass(stream, a, b, x)
+    assert logical(got) == stream
+    assert int(stats[K]) == len(stream)
+    return np.asarray(stats)
+
+
+def test_multi_two_disjoint_pairs():
+    stats = _multi_check(b"abcdabcdxy", [(97, 98, 256), (99, 100, 257)], 1024)
+    assert stats[0] == 2 and stats[1] == 2
+
+
+def test_multi_shared_left_tokens():
+    # a_i == a_j and b_i == b_j are both allowed by the group contract
+    _multi_check(b"ab ac ab ac", [(97, 98, 256), (97, 99, 257)], 1024)
+    _multi_check(b"xa ya xa", [(120, 97, 256), (121, 97, 257)], 1024)
+
+
+def test_multi_disabled_slots():
+    stats = _multi_check(
+        b"abab", [(97, 98, 256), (-2, -2, -2), (-2, -2, -2)], 1024
+    )
+    assert stats[0] == 2 and stats[1] == 0 and stats[2] == 0
+
+
+def test_multi_parity_slot0_with_disjoint_member():
+    # slot 0 may be a == b (overlap parity); the second member shares no
+    # token with it
+    stats = _multi_check(b"aaaxyxy", [(97, 97, 256), (120, 121, 257)], 1024)
+    assert stats[0] == 1 and stats[1] == 2  # aaa -> [X, a]
+
+
+def test_multi_cross_block_boundary():
+    data = bytearray(rng.integers(101, 104, 4096, dtype=np.uint8))
+    data[1023] = 97
+    data[1024] = 98
+    data[2047] = 99
+    data[2048] = 100
+    _multi_check(bytes(data), [(97, 98, 256), (99, 100, 257)], 4096)
+
+
+def test_multi_random_groups_vs_oracle():
+    # random chain-free groups over random data (the group contract the
+    # selection layer guarantees)
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        data = bytes(r.integers(97, 105, 3000, dtype=np.uint8))
+        toks = list(range(97, 105))
+        r.shuffle(toks)
+        # 4 disjoint-token pairs are trivially chain-free and distinct
+        table = [(toks[2 * i], toks[2 * i + 1], 256 + i) for i in range(4)]
+        _multi_check(data, table, 4096)

@@ -232,7 +232,8 @@ def rowmax_of(ub: jax.Array, vocab_size: int) -> jax.Array:
 def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
                          batch: int = 8, layout_block: int | None = None,
                          rowmax: jax.Array | None = None,
-                         count_fn=None, hot=None, hot_batch: int = 4):
+                         count_fn=None, hot=None, hot_batch: int = 4,
+                         protect_from=None):
     """Lazy-heap argmax: pop the ``batch`` largest entries of the stale
     upper-bound table ``ub``, verify them ALL with one exact corpus pass,
     and repeat until the table's argmax is a verified entry. Returns
@@ -256,6 +257,15 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
     ``count_fn(pa, pb) -> int32[len(pa)]`` overrides the exact-count pass —
     the data-parallel trainer supplies a shard-local count + psum so the
     same pop machinery runs replicated over a mesh (parallel.train_dp).
+
+    ``protect_from`` (traced scalar token id or None): bins whose row or
+    column is >= this id keep their current ub value instead of the
+    measured count. Used by multi-merge group building
+    (train_chunk_lazy): the corpus pass counts the PRE-group stream, so a
+    bin referencing a token minted earlier in the same group would be
+    measured as 0 — an unsound underestimate. Keeping the (sound upper
+    bound) value instead lets the loop terminate on such a bin, after
+    which the group-acceptance check rejects it.
 
     ``hot`` (traced scalar, the previous round's new token id) folds the
     top-``hot_batch`` entries of row ``hot`` and column ``hot`` into every
@@ -337,6 +347,13 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
         # one corpus pass verifies all of them exactly (the masked
         # reductions over the same stream fuse into one traversal)
         exact = count_fn(pa, pb)
+        if protect_from is not None:
+            cur = jnp.stack([
+                jax.lax.dynamic_slice(u2, (pa[j], pb[j]), (1, 1))[0, 0]
+                for j in range(nver)
+            ])
+            prot = (pa >= protect_from) | (pb >= protect_from)
+            exact = jnp.where(prot, cur, exact)
         for j in range(nver):
             u2 = jax.lax.dynamic_update_slice(
                 u2, exact[j].reshape(1, 1), (pa[j], pb[j])
@@ -443,6 +460,37 @@ def merge_pass(tokens: jax.Array, first, second, new_token):
     return apply_hits(tokens, hits, new_token)
 
 
+def merge_pass_multi(tokens: jax.Array, table: jax.Array):
+    """Apply up to K merges simultaneously in one pass + compaction — the
+    XLA formulation of ops.pallas.merge.merge_pass_pallas_multi (same
+    caller contract: slots pairwise distinct, chain-free both directions,
+    no minted references, a != b except possibly slot 0; disabled slots
+    are (-2, -2, -2)). Under that contract simultaneous application is
+    bit-exact with sequential replay in slot order.
+
+    Returns (new_tokens, nhits[K]) with tokens globally prefix-compacted.
+    """
+    K = table.shape[0]
+    b = jnp.roll(tokens, -1).at[-1].set(PAD)
+    hits = [greedy_hits(tokens, table[0, 0], table[0, 1])]
+    for m in range(1, K):
+        hits.append((b >= 0) & (tokens == table[m, 0]) & (b == table[m, 1]))
+    hit_any = hits[0]
+    for m in range(1, K):
+        hit_any = hit_any | hits[m]
+    written = tokens
+    for m in range(K):
+        written = jnp.where(hits[m], table[m, 2], written)
+    killed = jnp.roll(hit_any, 1).at[0].set(False)
+    keep = (~killed) & (tokens >= 0)
+    key = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+    _, out = jax.lax.sort(
+        (key, jnp.where(keep, written, PAD)), num_keys=1, is_stable=True
+    )
+    nhits = jnp.stack([jnp.sum(h.astype(jnp.int32)) for h in hits])
+    return out, nhits
+
+
 def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Array,
                 num_merges, vocab_size: int, max_rounds: int,
                 use_pallas: bool = False):
@@ -505,7 +553,7 @@ def train_chunk(tokens: jax.Array, length, merges: jax.Array, occupancy: jax.Arr
 def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array,
                      occupancy: jax.Array, num_merges, vocab_size: int,
                      max_rounds: int, use_pallas: bool = False,
-                     select_batch: int = 8):
+                     select_batch: int = 8, merge_group: int = 1):
     """train_chunk with lazy upper-bound selection instead of the per-round
     sort. State adds ``ub``: int32[V*V] upper bounds on live pair counts
     (initialised from one full histogram; see select_top_pair_lazy for the
@@ -514,15 +562,33 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
       1. pop+verify the argmax pair from ub              (O(pops) reductions)
       2. fused greedy merge + compaction                 (one streaming pass)
       3. ub[merged bin] = 0; bound the new token's row and column from ub
-         itself (row b / column a copies capped by nhits) — no extra
-         corpus pass; the pops verify these bounds lazily when they rise
-         to the top.
+         itself (row b / column a copies capped by the selection count) —
+         no extra corpus pass; the pops verify these bounds lazily when
+         they rise to the top.
+
+    With ``merge_group`` K > 1, each loop iteration tries to retire up to
+    K argmax rounds with ONE merge pass. Soundness: after accepting pair
+    P_i = (a_i, b_i) -> X_i, the count of a bin (a, b) is INVARIANT under
+    P_i's merge iff a != b_i and b != a_i and (a, b) != (a_i, b_i) (no
+    member of the bin's adjacencies is consumed; all created adjacencies
+    involve X_i). So the next member is selected from the ub table updated
+    with P_i's bounds (update_ub_after_merge with the exact count as the
+    hit cap — for a != b every candidate fires, so count == hits), with
+    its exact verification still measured on the PRE-group stream; it is
+    accepted only if it is chain-free w.r.t. every earlier member and
+    references no minted token (bins that cannot be pre-verified are
+    ``protect_from``-guarded in the selector). The accepted prefix then
+    applies simultaneously (merge_pass_pallas_multi's group contract) —
+    bit-exact with sequential rounds, including the tie-break, at ~1/K
+    the number of corpus passes. A rejected member simply ends the group;
+    it is re-selected next iteration against fresh counts.
 
     Identical output contract to train_chunk; faster per round because
     nothing is sorted and nothing is recounted eagerly.
     """
     V = vocab_size
     M = merges.shape[0]
+    GK = merge_group
     target = jnp.minimum(num_merges + max_rounds, M)
     if use_pallas:
         from .pallas import LAYOUT
@@ -538,25 +604,85 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
 
     def body(state):
         toks, L, u, rm, mg, occ, k, flag = state
-        # hot = the previous round's new token (256+k-1): its ub row/col
-        # were just written as bounds, so verify their tops eagerly. At
-        # k == 0 this degenerates to byte row 255 — harmless exact writes.
+        X0 = VOCAB_START + k
+        # ONE packed pair stream shared by every selection in this round
+        # (each group member's verify fuses its compares over it)
+        sa, sb = pair_streams(toks, lb)
+        pid_stream = jnp.where(sb >= 0, sa * V + sb, -1)
+
+        def count_fn(pa, pb):
+            return jnp.stack([
+                jnp.sum((pid_stream == pa[j] * V + pb[j]).astype(jnp.int32))
+                for j in range(pa.shape[0])
+            ])
+
+        # hot = the previous round's last new token: its ub row/col were
+        # just written as bounds, so verify their tops eagerly. At k == 0
+        # this degenerates to byte row 255 — harmless exact writes.
         ta, tb, cnt, u, rm = select_top_pair_lazy(
             u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
-            hot=VOCAB_START + k - 1,
+            hot=X0 - 1, count_fn=count_fn,
+            protect_from=X0 if GK > 1 else None,
         )
-        new_id = VOCAB_START + k
+        u, rm = update_ub_after_merge(u, rm, ta, tb, X0, cnt, V)
+        ok0 = cnt > 0
+        rows_ = [jnp.where(ok0, jnp.stack([ta, tb, jnp.int32(X0)]),
+                           jnp.full((3,), -2, jnp.int32))]
+        oks, cnts = [ok0], [cnt]
+        firsts, seconds = [ta], [tb]
+        for m in range(1, GK):
+            Xm = X0 + m
+            ta_m, tb_m, c_m, u, rm = select_top_pair_lazy(
+                u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
+                count_fn=count_fn, protect_from=X0,
+            )
+            acc = (
+                oks[m - 1] & (c_m > 0) & (k + m < target)
+                & (ta_m != tb_m) & (ta_m < X0) & (tb_m < X0)
+            )
+            for j in range(m):
+                acc = acc & (
+                    ~((firsts[j] == ta_m) & (seconds[j] == tb_m))
+                    & (seconds[j] != ta_m) & (firsts[j] != tb_m)
+                )
+            u, rm = jax.lax.cond(
+                acc,
+                lambda ur: update_ub_after_merge(
+                    ur[0], ur[1], ta_m, tb_m, Xm, c_m, V
+                ),
+                lambda ur: ur,
+                (u, rm),
+            )
+            rows_.append(jnp.where(
+                acc, jnp.stack([ta_m, tb_m, jnp.int32(Xm)]),
+                jnp.full((3,), -2, jnp.int32),
+            ))
+            oks.append(acc)
+            cnts.append(c_m)
+            # rejected members must not constrain later chain checks (they
+            # are not in the group), but acc is monotone so it is moot;
+            # mask anyway for clarity
+            firsts.append(jnp.where(acc, ta_m, jnp.int32(-3)))
+            seconds.append(jnp.where(acc, tb_m, jnp.int32(-3)))
+
+        table = jnp.stack(rows_)  # (GK, 3)
         if use_pallas:
-            toks, stats = pallas_merge.merge_pass_pallas(toks, ta, tb, new_id)
-            nhits = stats[0]
-            flag = (stats[2] <= 1).astype(jnp.int32)
+            toks, stats = pallas_merge.merge_pass_pallas_multi(toks, table)
+            nh = stats[:GK]
+            L = stats[GK]
+            flag = (stats[GK + 1] <= 1).astype(jnp.int32)
         else:
-            hits = greedy_hits(toks, ta, tb)
-            toks, nhits = apply_hits(toks, hits, new_id)
-        u, rm = update_ub_after_merge(u, rm, ta, tb, new_id, nhits, V)
-        mg = mg.at[k].set(jnp.stack([ta, tb, new_id]))
-        occ = occ.at[k].set(cnt)
-        return toks, L - nhits, u, rm, mg, occ, k + 1, flag
+            toks, nh = merge_pass_multi(toks, table)
+            L = L - jnp.sum(nh)
+        for m in range(GK):
+            mg = mg.at[k + m].set(jnp.where(
+                oks[m], table[m], jnp.full((3,), PAD, jnp.int32)
+            ))
+            occ = occ.at[k + m].set(jnp.where(oks[m], cnts[m], 0))
+        g = oks[0].astype(jnp.int32)
+        for m in range(1, GK):
+            g = g + oks[m].astype(jnp.int32)
+        return toks, L, u, rm, mg, occ, k + g, flag
 
     rowmax0 = rowmax_of(ub, V)
     toks, L, u, _, mg, occ, k, flag = jax.lax.while_loop(

@@ -220,17 +220,19 @@ def _compact_rows_bitmove(written, keep, shift, mrk, work_ref):
 
 
 def _merge_kernel(
-    scalars,      # SMEM int32[3]: (a, b, new_token)   [scalar prefetch]
+    scalars,      # SMEM int32[K*3]: K (a, b, new_token) slots [scalar
+                  #   prefetch]; a disabled slot is (-2, -2, -2)
     tok_ref,      # VMEM window: (R+8, 128) when G > 1 (own block + next
                   #   block's head rows, element-indexed overlap) else (R, 128)
     out_ref,      # ANY  (rows, 128) full output in HBM (aliases the input)
-    stats_ref,    # SMEM int32[3]: (nhits, new_length, min_kept)
+    stats_ref,    # SMEM int32[K+2]: (nhits_0..K-1, new_length, min_kept)
     work,         # VMEM (R, 128) scratch: bit-move staging
     obuf,         # VMEM (2R, 128) double-buffered output staging
-    carry,        # SMEM int32[9]: see _init
+    carry,        # SMEM int32[9+K]: see _init
     sem,          # DMA semaphore array (2,) for output copies
     *,
     R: int,
+    K: int = 1,
 ):
     i = pl.program_id(0)
     G = pl.num_programs(0)
@@ -255,16 +257,24 @@ def _merge_kernel(
         carry[0] = NEG      # logical rank of the last non-candidate position
         carry[1] = 0        # kill-head carry for this block's row 0
         carry[2] = 0        # logical rank offset (sum of earlier block pops)
-        carry[3] = 0        # total hits
+        carry[3] = 0        # (unused; kept for layout stability)
         carry[4] = 0        # total kept (new logical length)
         carry[5] = BIG      # min kept over INTERIOR non-empty rows
         carry[6] = 0        # copy in flight on obuf slot 0?
         carry[7] = 0        # copy in flight on obuf slot 1?
         carry[8] = BIG      # kept of the last non-empty row seen (deferred)
+        for m in range(K):
+            carry[9 + m] = 0  # per-member hit counts
 
-    a = scalars[0]
-    b = scalars[1]
-    new_tok = scalars[2]
+    # Member 0 may have a == b (overlap-parity semantics); members 1..K-1
+    # are guaranteed a != b, pairwise chain-free (no b_i == a_j), distinct,
+    # and never reference a member's minted token — the selection layer
+    # enforces this (core.train_chunk_lazy group building), which is what
+    # makes simultaneous application equal to sequential replay (the same
+    # argument as ops/pallas/encode.py group_merges).
+    mem = [(scalars[3 * m], scalars[3 * m + 1], scalars[3 * m + 2])
+           for m in range(K)]
+    a, b, new_tok = mem[0]
 
     valid = tok >= 0
     L = jnp.sum(valid.astype(jnp.int32))
@@ -306,9 +316,12 @@ def _merge_kernel(
     # unchanged, and every interior row entered the round with >= 2 tokens
     # (the trainer recompacts whenever min_kept drops to <= 1), so an
     # unchanged row can never be the one that trips the flag.
-    has_a = jnp.any(valid & (tok == a))
-    has_b = jnp.any(valid & (tok == b)) | (peek == b)
-    full = (carry[1] == 1) | (has_a & has_b)
+    full = carry[1] == 1
+    for m in range(K):
+        am, bm, _ = mem[m]
+        has_a = jnp.any(valid & (tok == am))
+        has_b = jnp.any(valid & (tok == bm)) | (peek == bm)
+        full = full | (has_a & has_b)
 
     def _fold_deferred():
         # This block is non-empty, so the deferred row (last non-empty row of
@@ -347,12 +360,21 @@ def _merge_kernel(
         is_lastvalid = valid & (nxt_in < 0)
         nxt = jnp.where(is_lastvalid, hn, nxt_in)
 
-        cand = valid & (tok == a) & (nxt == b) & (nxt >= 0)
-        ncand = jnp.sum(cand.astype(jnp.int32))
+        # member candidate masks: distinct chain-free pairs can never
+        # produce overlapping or adjacent candidates (adjacency would force
+        # b_i == a_j), so the union resolves with member-0 parity alone
+        cands = []
+        cand_any = None
+        for m in range(K):
+            am, bm, _ = mem[m]
+            cm = valid & (tok == am) & (nxt == bm) & (nxt >= 0)
+            cands.append(cm)
+            cand_any = cm if cand_any is None else (cand_any | cm)
+        ncand = jnp.sum(cand_any.astype(jnp.int32))
         act = (ncand > 0) | (carry[1] == 1)
 
-        # second fast path: a and b present but never adjacent (and no kill
-        # carry) — the block is untouched; skip kills/compaction/min_kept
+        # second fast path: pair tokens present but never adjacent (and no
+        # kill carry) — the block is untouched; skip kills/compaction
         @pl.when(~act)
         def _idle():
             _fold_deferred()
@@ -362,9 +384,9 @@ def _merge_kernel(
 
         @pl.when(act)
         def _do_process():
-            _process_act(cand, nxt_in, is_lastvalid, row, col)
+            _process_act(cands, nxt_in, is_lastvalid, row, col)
 
-    def _process_act(cand, nxt_in, is_lastvalid, row, col):
+    def _process_act(cands, nxt_in, is_lastvalid, row, col):
         rowpop = jnp.sum(valid.astype(jnp.int32), axis=1, keepdims=True)  # (R,1)
 
         # leftmost-greedy parity for a == b runs (reference ``aaa -> [X,a]``
@@ -392,11 +414,15 @@ def _merge_kernel(
             ).astype(jnp.int32)
             return hit32, jnp.maximum(carry[0], jnp.max(ncr))
 
-        hit32, c0 = jax.lax.cond(
+        hit0_32, c0 = jax.lax.cond(
             a == b, with_parity, lambda c_mask: (c_mask, carry[0]),
-            cand.astype(jnp.int32),
+            cands[0].astype(jnp.int32),
         )
-        hit = hit32 == 1
+        hits = [hit0_32 == 1] + cands[1:]
+        hit = hits[0]
+        for m in range(1, K):
+            hit = hit | hits[m]
+        hit32 = hit.astype(jnp.int32)
 
         # kills: within-row partner (lane shift), edge-hit partner (sublane
         # shift of per-row edge-hit flags), and the cross-block carry
@@ -413,12 +439,15 @@ def _merge_kernel(
         ke = jnp.where(row == 0, carry[1], ke)
         killed = ((killed_in == 1) | ((col == 0) & (ke >= 1))) & valid
 
-        written = jnp.where(hit, new_tok, tok)
+        written = jnp.where(hits[0], new_tok, tok)
+        for m in range(1, K):
+            written = jnp.where(hits[m], mem[m][2], written)
         keep = valid & ~killed
         rowkills = jnp.sum(killed.astype(jnp.int32), axis=1, keepdims=True)
         nkilled = jnp.sum(rowkills)
-        nhits_blk = jnp.sum(hit32)
         mrk = jnp.max(rowkills)
+
+        nhits_blk = jnp.sum(hit32)
 
         # within-row compaction; with no kills ``written`` is already a
         # valid row-prefix layout. Untouched blocks skip the store entirely
@@ -452,10 +481,11 @@ def _merge_kernel(
             (hit & is_lastvalid & (row == R - 1)).astype(jnp.int32)
         )
         carry[2] = carry[2] + L
-        carry[3] = carry[3] + nhits_blk
         carry[4] = carry[4] + (L - nkilled)
         carry[5] = jnp.minimum(carry[5], jnp.minimum(carry[8], m_abl))
         carry[8] = last_kept
+        for m in range(K):
+            carry[9 + m] = carry[9 + m] + jnp.sum(hits[m].astype(jnp.int32))
 
     # (plain defs above so _process can call _process_act: pl.when runs its
     # body immediately at trace time)
@@ -474,9 +504,10 @@ def _merge_kernel(
                     sem.at[s],
                 ).wait()
 
-        stats_ref[0] = carry[3]
-        stats_ref[1] = carry[4]
-        stats_ref[2] = jnp.minimum(carry[5], jnp.int32(BIG))
+        for m in range(K):
+            stats_ref[m] = carry[9 + m]
+        stats_ref[K] = carry[4]
+        stats_ref[K + 1] = jnp.minimum(carry[5], jnp.int32(BIG))
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -484,13 +515,44 @@ def merge_pass_pallas(
     tokens: jax.Array, first, second, new_token, *, block_rows: int = 256,
     interpret: bool = False,
 ):
-    """Fused greedy merge + row-local compaction.
+    """Fused greedy merge + row-local compaction (single pair).
 
     ``tokens``: int32[N] in row-local prefix layout (a globally-compacted
     stream is a special case), N a multiple of block_rows*128. Returns
     (new_tokens, stats[nhits, new_length, min_kept]) in the same layout.
     Exact reference semantics on the logical stream
     (basic_tokenizer.zig:207-232), including ``aaa -> [X, a]``.
+    """
+    table = jnp.stack(
+        [jnp.asarray(first, jnp.int32), jnp.asarray(second, jnp.int32),
+         jnp.asarray(new_token, jnp.int32)]
+    ).reshape(1, 3)
+    return merge_pass_pallas_multi(
+        tokens, table, block_rows=block_rows, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def merge_pass_pallas_multi(
+    tokens: jax.Array, table: jax.Array, *, block_rows: int = 256,
+    interpret: bool = False,
+):
+    """Apply up to K merges SIMULTANEOUSLY in one streaming pass.
+
+    ``table``: int32[K, 3] of (first, second, new_token) slots; a disabled
+    slot is (-2, -2, -2) (it can never match a token). The CALLER must
+    guarantee the enabled slots form a valid simultaneous group: pairwise
+    distinct pairs, chain-free in both directions (no b_i == a_j for
+    i != j), no slot referencing another slot's minted token, and
+    first != second for every slot except possibly slot 0 (which keeps
+    the overlap-parity semantics). Under those conditions simultaneous
+    application is bit-exact with applying the slots sequentially in
+    index order (the group_merges argument, ops/pallas/encode.py:92-109)
+    — this is what lets the trainer retire several argmax rounds per
+    corpus pass (core.train_chunk_lazy).
+
+    Returns (new_tokens, stats[K+2]) where stats[:K] are per-slot hit
+    counts, stats[K] the new logical length, stats[K+1] min_kept.
 
     256-row blocks amortize the per-block fixed cost of the (inherently
     sequential — one TensorCore) grid.
@@ -500,13 +562,11 @@ def merge_pass_pallas(
     C = R * LANES
     if N % C:
         raise ValueError(f"capacity {N} must be a multiple of {C}")
+    K = table.shape[0]
     G = N // C
     rows = N // LANES
     tok2d = tokens.reshape(rows, LANES)
-    scalars = jnp.stack(
-        [jnp.asarray(first, jnp.int32), jnp.asarray(second, jnp.int32),
-         jnp.asarray(new_token, jnp.int32)]
-    )
+    scalars = table.reshape(K * 3).astype(jnp.int32)
 
     # ONE element-indexed overlapping window per block: rows [i*R, i*R+R+8)
     # — this block plus the next block's head row (the adjacency peek). The
@@ -540,16 +600,16 @@ def merge_pass_pallas(
         scratch_shapes=[
             pltpu.VMEM((R, LANES), jnp.int32),
             pltpu.VMEM((2 * R, LANES), jnp.int32),
-            pltpu.SMEM((9,), jnp.int32),
+            pltpu.SMEM((9 + K,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, stats = pl.pallas_call(
-        functools.partial(_merge_kernel, R=R),
+        functools.partial(_merge_kernel, R=R, K=K),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((3,), jnp.int32),
+            jax.ShapeDtypeStruct((K + 2,), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         # the output aliases the token input: untouched blocks (no hits, no

@@ -51,15 +51,17 @@ def _train_chunk(tokens, length, merges, occupancy, num_merges, *, vocab_size,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vocab_size", "max_rounds", "use_pallas", "select_batch"),
+    static_argnames=("vocab_size", "max_rounds", "use_pallas", "select_batch",
+                     "merge_group"),
     donate_argnums=(0, 2, 3, 4),
 )
 def _train_chunk_lazy(tokens, length, ub, merges, occupancy, num_merges, *,
-                      vocab_size, max_rounds, use_pallas=False, select_batch=8):
+                      vocab_size, max_rounds, use_pallas=False, select_batch=8,
+                      merge_group=1):
     return core.train_chunk_lazy(
         tokens, length, ub, merges, occupancy, num_merges,
         vocab_size=vocab_size, max_rounds=max_rounds, use_pallas=use_pallas,
-        select_batch=select_batch,
+        select_batch=select_batch, merge_group=merge_group,
     )
 
 
@@ -240,6 +242,7 @@ def train(
     checkpoint_every_chunks: int = 4,
     resume: bool = True,
     detailed_stats: bool = False,
+    merge_group: Optional[int] = None,
 ) -> List[Merge]:
     """Train a BPE merge table on-device; exact reference semantics
     (basic_tokenizer.zig:140-205). Returns the ordered merge list.
@@ -315,7 +318,7 @@ def train(
         verbose=verbose, chunk_rounds=chunk_rounds, shrink=shrink,
         stats=stats, checkpoint_dir=checkpoint_dir,
         checkpoint_every_chunks=checkpoint_every_chunks,
-        detailed_stats=detailed_stats,
+        detailed_stats=detailed_stats, merge_group=merge_group,
     )
 
 
@@ -339,6 +342,7 @@ def train_device(
     checkpoint_every_chunks: int = 4,
     detailed_stats: bool = False,
     select_batch: Optional[int] = None,
+    merge_group: Optional[int] = None,
 ) -> List[Merge]:
     """Run the training chunk loop on an already device-resident corpus
     (see :func:`upload`). This is the compute path of :func:`train`,
@@ -356,6 +360,11 @@ def train_device(
         # in ~1 pass and prefer the cheaper one (A/B: 8 MB / 1024 merges
         # 2.96 -> 3.81 MB/s at 16; headline unchanged at 8)
         select_batch = 16 if vocab_size > 1024 else 8
+    if merge_group is None:
+        # groups of 4 retire ~3.5 argmax rounds per corpus pass on text
+        # (consecutive argmax merges are mostly chain-free — the same
+        # statistic that gives the encode kernel ~8-entry fusion groups)
+        merge_group = 4
     if merges is None:
         merges = jnp.full((M, 3), core.PAD, jnp.int32)
     if occupancy is None:
@@ -394,6 +403,7 @@ def train_device(
                     tokens, length, ub, merges, occupancy, k,
                     vocab_size=vocab_size, max_rounds=rounds,
                     use_pallas=use_pallas, select_batch=select_batch,
+                    merge_group=merge_group,
                 )
             else:
                 tokens, length, merges, occupancy, k, flag = _train_chunk(
