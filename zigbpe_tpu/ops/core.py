@@ -233,7 +233,8 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
                          batch: int = 8, layout_block: int | None = None,
                          rowmax: jax.Array | None = None,
                          count_fn=None, hot=None, hot_batch: int = 4,
-                         protect_from=None):
+                         protect_from=None, return_verified: bool = False,
+                         col_k: int = 2):
     """Lazy-heap argmax: pop the ``batch`` largest entries of the stale
     upper-bound table ``ub``, verify them ALL with one exact corpus pass,
     and repeat until the table's argmax is a verified entry. Returns
@@ -282,7 +283,7 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
         rowmax = jnp.max(u2, axis=1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
     col_iota = row_iota
-    nver = 2 * batch + 1 + (2 * hot_batch if hot is not None else 0)
+    nver = col_k * batch + 1 + (2 * hot_batch if hot is not None else 0)
     if count_fn is None:
         sa, sb = pair_streams(tokens, layout_block)
         # verify compares against ONE packed stream when V*V fits int32 (one
@@ -308,7 +309,7 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
             ])
 
     def round_(state):
-        u2, rm, _, _, _, _ = state
+        u2, rm = state[0], state[1]
         # verify set: the top-`batch` rows by the row cache (one chain-free
         # lax.top_k instead of sequential masked argmaxes), then the top-2
         # entries of each selected row in one batched top_k. The verify SET
@@ -319,8 +320,8 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
             [jax.lax.dynamic_slice(u2, (rows_idx[j], 0), (1, V))
              for j in range(batch)], axis=0,
         )  # (batch, V)
-        _, cols2 = jax.lax.top_k(rows_mat, 2)
-        pa_parts = [jnp.repeat(rows_idx, 2)]
+        _, cols2 = jax.lax.top_k(rows_mat, col_k)
+        pa_parts = [jnp.repeat(rows_idx, col_k)]
         pb_parts = [cols2.reshape(-1)]
         if hot is not None:
             # eager hot-row/col pops: the freshest bounds are the stalest
@@ -367,15 +368,22 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
         row2 = jax.lax.dynamic_slice(u2, (a2, 0), (1, V))[0]
         b2 = jnp.max(jnp.where(row2 == c2, col_iota, -1))
         verified = jnp.any((pa == a2) & (pb == b2)) | (c2 == 0)
-        return u2, rm, a2, b2, c2, verified
+        return u2, rm, a2, b2, c2, verified, pa, pb
 
     def cond(state):
-        return ~state[-1]
+        return ~state[5]
 
-    state = round_(
-        (u2, rowmax, jnp.int32(-1), jnp.int32(-1), jnp.int32(0), jnp.bool_(False))
-    )
-    u2, rm, a, b, c, _ = jax.lax.while_loop(cond, round_, state)
+    state = round_((
+        u2, rowmax, jnp.int32(-1), jnp.int32(-1), jnp.int32(0),
+        jnp.bool_(False), jnp.full((nver,), -1, jnp.int32),
+        jnp.full((nver,), -1, jnp.int32),
+    ))
+    u2, rm, a, b, c, _, pa, pb = jax.lax.while_loop(cond, round_, state)
+    if return_verified:
+        # the final iteration's verified bins: their ub entries hold EXACT
+        # live counts (protected bins can only match queries below
+        # protect_from, which never alias them)
+        return a, b, c, u2.reshape(V * V), rm, pa, pb
     return a, b, c, u2.reshape(V * V), rm
 
 
@@ -567,21 +575,25 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
          they rise to the top.
 
     With ``merge_group`` K > 1, each loop iteration tries to retire up to
-    K argmax rounds with ONE merge pass. Soundness: after accepting pair
-    P_i = (a_i, b_i) -> X_i, the count of a bin (a, b) is INVARIANT under
-    P_i's merge iff a != b_i and b != a_i and (a, b) != (a_i, b_i) (no
-    member of the bin's adjacencies is consumed; all created adjacencies
-    involve X_i). So the next member is selected from the ub table updated
-    with P_i's bounds (update_ub_after_merge with the exact count as the
-    hit cap — for a != b every candidate fires, so count == hits), with
-    its exact verification still measured on the PRE-group stream; it is
-    accepted only if it is chain-free w.r.t. every earlier member and
-    references no minted token (bins that cannot be pre-verified are
-    ``protect_from``-guarded in the selector). The accepted prefix then
-    applies simultaneously (merge_pass_pallas_multi's group contract) —
-    bit-exact with sequential rounds, including the tie-break, at ~1/K
-    the number of corpus passes. A rejected member simply ends the group;
-    it is re-selected next iteration against fresh counts.
+    K argmax rounds with ONE merge pass AND one selection corpus pass.
+    Soundness: after accepting pair P_i = (a_i, b_i) -> X_i, the count of
+    a bin (a, b) is INVARIANT under P_i's merge iff a != b_i and b != a_i
+    and (a, b) != (a_i, b_i) (no member of the bin's adjacencies is
+    consumed; all created adjacencies involve X_i). So after writing P_i's
+    ub bounds (update_ub_after_merge with the exact count as the hit cap —
+    for a != b every candidate fires, so count == hits), the next member
+    is just the new table argmax — accepted WITHOUT any further corpus
+    pass iff its bin is in the selection's already-verified set (its ub
+    value is then the exact pre-group == post-prefix count), it is
+    chain-free w.r.t. every earlier member, and it references no minted
+    token (minted rows/cols carry unverifiable bounds; if the argmax
+    lands there the group simply ends). The accepted prefix applies
+    simultaneously (merge_pass_pallas_multi's group contract) — bit-exact
+    with sequential rounds, including the tie-break (the argmax-by-
+    (count, first, second) over upper bounds with an exact winner is the
+    true argmax: a tied bin with a larger pair id would itself have won
+    the ub-argmax). A rejected member ends the group; it is re-selected
+    next iteration against fresh counts.
 
     Identical output contract to train_chunk; faster per round because
     nothing is sorted and nothing is recounted eagerly.
@@ -602,28 +614,49 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
         toks, L, u, rm, mg, occ, k, flag = state
         return (k < target) & (L >= 2) & (flag == 0)
 
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
+    # Two extension strategies, chosen statically by regime:
+    # * shallow vocab (cheap, low-churn selects): each extension re-runs
+    #   the full verified selection against the PRE-group stream — highest
+    #   acceptance rate, one extra fused verify pass per member.
+    # * deep vocab (flattened counts, verify churn dominates): extensions
+    #   are FREE — just the table argmax, accepted only if already in the
+    #   round's verified set. Groups break a bit more often, but a broken
+    #   group costs nothing extra.
+    chained_ext = GK > 1 and V <= 1024
+
     def body(state):
         toks, L, u, rm, mg, occ, k, flag = state
         X0 = VOCAB_START + k
-        # ONE packed pair stream shared by every selection in this round
-        # (each group member's verify fuses its compares over it)
-        sa, sb = pair_streams(toks, lb)
-        pid_stream = jnp.where(sb >= 0, sa * V + sb, -1)
+        vpa = vpb = None
+        if chained_ext:
+            # one packed pair stream shared by every selection this round
+            sa, sb = pair_streams(toks, lb)
+            pid_stream = jnp.where(sb >= 0, sa * V + sb, -1)
 
-        def count_fn(pa, pb):
-            return jnp.stack([
-                jnp.sum((pid_stream == pa[j] * V + pb[j]).astype(jnp.int32))
-                for j in range(pa.shape[0])
-            ])
-
+            def count_fn(pa, pb):
+                return jnp.stack([
+                    jnp.sum((pid_stream == pa[j] * V + pb[j]).astype(jnp.int32))
+                    for j in range(pa.shape[0])
+                ])
+        else:
+            count_fn = None
         # hot = the previous round's last new token: its ub row/col were
         # just written as bounds, so verify their tops eagerly. At k == 0
         # this degenerates to byte row 255 — harmless exact writes.
-        ta, tb, cnt, u, rm = select_top_pair_lazy(
-            u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
-            hot=X0 - 1, count_fn=count_fn,
-            protect_from=X0 if GK > 1 else None,
-        )
+        if GK > 1 and not chained_ext:
+            # wider verify set (col_k=3): the next GK-1 argmaxes must land
+            # in it for the group to extend — one fused corpus pass either
+            # way, so extra bins are near-free relative to a broken group
+            ta, tb, cnt, u, rm, vpa, vpb = select_top_pair_lazy(
+                u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
+                hot=X0 - 1, return_verified=True, col_k=3,
+            )
+        else:
+            ta, tb, cnt, u, rm = select_top_pair_lazy(
+                u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
+                hot=X0 - 1, count_fn=count_fn,
+            )
         u, rm = update_ub_after_merge(u, rm, ta, tb, X0, cnt, V)
         ok0 = cnt > 0
         rows_ = [jnp.where(ok0, jnp.stack([ta, tb, jnp.int32(X0)]),
@@ -632,12 +665,31 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
         firsts, seconds = [ta], [tb]
         for m in range(1, GK):
             Xm = X0 + m
-            ta_m, tb_m, c_m, u, rm = select_top_pair_lazy(
-                u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
-                count_fn=count_fn, protect_from=X0,
-            )
+            if chained_ext:
+                # full re-selection against the bound-updated table; the
+                # corpus pass still measures the PRE-group stream (sound:
+                # bins referencing minted tokens keep their bounds)
+                ta_m, tb_m, c_m, u, rm = select_top_pair_lazy(
+                    u, toks, V, batch=select_batch, layout_block=lb,
+                    rowmax=rm, count_fn=count_fn, protect_from=X0,
+                )
+                member_ok = c_m > 0
+            else:
+                # the next argmax straight off the (bound-updated) table —
+                # no corpus pass; O(V) via the rowmax cache
+                u2v = u.reshape(V, V)
+                c_m = jnp.max(rm)
+                ta_m = jnp.max(jnp.where(rm == c_m, row_iota, -1))
+                row_m = jax.lax.dynamic_slice(
+                    u2v, (jnp.maximum(ta_m, 0), 0), (1, V)
+                )[0]
+                tb_m = jnp.max(jnp.where(row_m == c_m, row_iota, -1))
+                member_ok = (
+                    jnp.any((vpa == ta_m) & (vpb == tb_m))
+                    & (c_m > 0) & (tb_m >= 0)
+                )
             acc = (
-                oks[m - 1] & (c_m > 0) & (k + m < target)
+                oks[m - 1] & member_ok & (k + m < target)
                 & (ta_m != tb_m) & (ta_m < X0) & (tb_m < X0)
             )
             for j in range(m):
