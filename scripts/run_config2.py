@@ -91,7 +91,7 @@ def main():
         "vs_native": round(native_s / warm_s, 2),
     }
     print(json.dumps(result))
-    with open("CONFIG2_r4.json", "w") as f:
+    with open("CONFIG2_r5.json", "w") as f:
         f.write(json.dumps(result) + "\n")
 
 

@@ -623,7 +623,15 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
     #   are FREE — just the table argmax, accepted only if already in the
     #   round's verified set. Groups break a bit more often, but a broken
     #   group costs nothing extra.
-    chained_ext = GK > 1 and V <= 1024
+    # The winning strategy is regime-dependent and BOTH discriminators are
+    # static at trace time: shallow vocabs always prefer chained re-selects
+    # (low churn), and at deep vocabs the choice follows the corpus size —
+    # big streams amortize the extra verify pass (chained), small ones are
+    # dominated by flattened-count churn that each re-select multiplies
+    # (membership). Measured: 100MB/1024 chained 11.6 vs 10.7 MB/s;
+    # 8MB/1024 membership 4.4 vs 3.8; shrink re-traces per capacity, so a
+    # long training naturally switches as the stream compacts.
+    chained_ext = GK > 1 and (V <= 1024 or tokens.shape[0] > 2**24)
 
     def body(state):
         toks, L, u, rm, mg, occ, k, flag = state
