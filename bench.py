@@ -131,7 +131,9 @@ def main() -> None:
     from zigbpe_tpu.ops.pallas import encode as pe
 
     enc_table = fastio.train(data[: 1 << 20], 256 + 1024)
-    gt, gl = pe.group_merges(np.asarray(enc_table, np.int32).reshape(-1, 3))
+    gt, gl = pe.schedule_merges(
+        np.asarray(enc_table, np.int32).reshape(-1, 3), cap=32
+    )
     gt, gl = jnp.asarray(gt), jnp.asarray(gl)
     L = 32768
     B = tokens.shape[0] // L

@@ -1,5 +1,5 @@
 """BASELINE.json config 3 at spec: encode a 1 GB corpus with a frozen
-1K-merge table, batched 32K-token rows, single chip. Writes CONFIG3_r4.json.
+1K-merge table, batched 32K-token rows, single chip. Writes CONFIG3_r5.json.
 
 Run: python scripts/run_config3.py [MB (default 1024)]
 """
@@ -33,7 +33,7 @@ def main():
     sync(jax.device_put(np.ones((8,), np.int32)))
 
     table = fastio.train(data[: 1 << 20], 256 + 1024)
-    gt, gl = pe.group_merges(np.asarray(table, np.int32).reshape(-1, 3))
+    gt, gl = pe.schedule_merges(np.asarray(table, np.int32).reshape(-1, 3), cap=32)
     gt, gl = jnp.asarray(gt), jnp.asarray(gl)
 
     import functools
@@ -80,7 +80,7 @@ def main():
         "compression": round(B * L / out_tokens, 4),
     }
     print(json.dumps(result))
-    with open("CONFIG3_r4.json", "w") as f:
+    with open("CONFIG3_r5.json", "w") as f:
         f.write(json.dumps(result) + "\n")
 
 

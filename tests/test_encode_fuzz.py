@@ -73,11 +73,14 @@ def test_fuzz_grouped_encode_vs_oracle(seed):
         buf[i, : len(d)] = np.frombuffer(d, np.uint8)
 
     cap = int(rng.choice([4, 8, 16]))
+    # alternate between consecutive grouping and the reorder-with-
+    # equivalence scheduler — both must reproduce sequential replay
+    grouper = pe.schedule_merges if seed % 2 else pe.group_merges
     # Pad the grouped table to a FIXED group count so all seeds share one
     # compiled program per cap (padded groups have glen == 0 and PAD rows:
     # provable no-ops). 50 distinct interpret-mode compilations otherwise
     # bloat XLA CPU process state until a later large compile segfaults.
-    gt, gl = pe.group_merges(np.asarray(table, np.int32), cap=cap)
+    gt, gl = grouper(np.asarray(table, np.int32), cap=cap)
     PMAX = 32
     assert gt.shape[0] <= PMAX
     gt_p = np.full((PMAX, cap, 3), -1, np.int32)

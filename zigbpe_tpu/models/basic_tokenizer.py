@@ -181,7 +181,9 @@ class BasicTokenizer:
             from ..ops.pallas import encode as pe
 
             if self._grouped_merges is None:
-                gt, gl = pe.group_merges(np.asarray(self.merges, np.int32))
+                gt, gl = pe.schedule_merges(
+                    np.asarray(self.merges, np.int32), cap=32
+                )
                 self._grouped_merges = (jnp.asarray(gt), jnp.asarray(gl))
             out, lengths = pe.encode_rows_grouped(tokens, *self._grouped_merges)
         else:

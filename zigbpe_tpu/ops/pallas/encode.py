@@ -146,6 +146,95 @@ def group_merges(merges, cap: int = 16):
     return gtable, np.asarray(groups, np.int32)
 
 
+def schedule_merges(merges, cap: int = 16):
+    """Reorder-with-equivalence scheduling: greedily list-schedule the merge
+    table into simultaneous chain-free groups over its INDEPENDENCE DAG —
+    the stronger version of :func:`group_merges`, which only fuses
+    consecutive runs.
+
+    Two merges are independent iff their pairs are distinct, no token is
+    chained across them (b_i == a_j or b_j == a_i), neither references the
+    other's minted token, and — when either has a == b (overlap parity) —
+    their token sets are fully disjoint. Independent merges COMMUTE: each
+    one's candidate set on any stream is invariant under the other's
+    application (destroying a candidate would need a member token consumed,
+    which forces one of the excluded equalities; every created adjacency
+    involves the minted token, which is never referenced). Hence replaying
+    any topological linear extension of the dependency DAG — reachable
+    from training order by adjacent transpositions of independent pairs —
+    produces the same output for EVERY input, and independent entries
+    within one step may apply simultaneously (the group_merges argument).
+
+    The greedy: walk the remaining entries in original order; an entry is
+    READY when all of its not-yet-scheduled earlier interactors are gone;
+    add ready entries pairwise-independent with the current group until
+    ``cap``. Real 1K text tables schedule to ~2-3x fewer passes than
+    consecutive grouping (the tail of a trained table is full of mutually
+    independent but interleaved merges).
+
+    Returns (gtable int32[P, cap, 3] PAD-filled, glens int32[P]).
+    """
+    import numpy as np
+
+    t = np.asarray(merges, np.int64).reshape(-1, 3)
+    n = len(t)
+
+    def indep(i, j):
+        ai, bi, xi = t[i]
+        aj, bj, xj = t[j]
+        if ai == aj and bi == bj:
+            return False
+        if xi in (aj, bj, xj) or xj in (ai, bi):
+            return False
+        if bi == aj or bj == ai:
+            return False
+        if ai == bi or aj == bj:
+            return not ({ai, bi, xi} & {aj, bj, xj})
+        return True
+
+    # interactors[j] = earlier entries j must wait for (list kept sorted)
+    interacts = [
+        [i for i in range(j) if not indep(i, j)] for j in range(n)
+    ]
+    scheduled = np.zeros(n, bool)
+    order = []
+    groups = []
+    remaining = list(range(n))
+    while remaining:
+        group = []
+        keep = []
+        for idx in remaining:
+            if len(group) >= cap:
+                keep.append(idx)
+                continue
+            if any(not scheduled[i] for i in interacts[idx]):
+                keep.append(idx)
+                continue
+            ai, bi = t[idx, 0], t[idx, 1]
+            if ai == bi and group:
+                keep.append(idx)  # parity merges run as singletons
+                continue
+            if group and (t[group[0], 0] == t[group[0], 1]):
+                keep.append(idx)
+                continue
+            if all(indep(g, idx) for g in group):
+                group.append(idx)
+            else:
+                keep.append(idx)
+        for g in group:
+            scheduled[g] = True
+        order.extend(group)
+        groups.append(len(group))
+        remaining = keep
+    P = len(groups)
+    gtable = np.full((P, cap, 3), PAD, np.int32)
+    pos = 0
+    for p, g in enumerate(groups):
+        gtable[p, :g] = t[order[pos : pos + g]]
+        pos += g
+    return gtable, np.asarray(groups, np.int32)
+
+
 def _encode_kernel(
     table,     # SMEM int32[P*cap*3] grouped merge table (scalar prefetch)
     glens,     # SMEM int32[P] group sizes (scalar prefetch)
