@@ -149,13 +149,23 @@ def main() -> None:
         enc_runs.append(B * L / (time.perf_counter() - t0) / 1e6)
     encode_mbps = max(enc_runs)
 
-    # Native single-core C++ baseline (reference-class; fastio.cpp zbpe_train)
+    # Native single-core C++ baseline (reference-class; fastio.cpp
+    # zbpe_train). Protocol: best-of-3 with a host-load guard — runs that
+    # deviate > 20% from the best are attributed to background load and
+    # retried (up to 3 extras), so the vs_baseline headline is stable
+    # across consecutive invocations (round-4 verdict: the single-shot
+    # number wobbled 1.99-3.02 MB/s with host load).
     base_slice = data[:BASELINE_SLICE]
-    base_wall = float("inf")
-    for _ in range(2):
+    base_runs = []
+    for _ in range(6):
         t0 = time.perf_counter()
         base_merges = fastio.train(base_slice, VOCAB)
-        base_wall = min(base_wall, time.perf_counter() - t0)
+        base_runs.append(time.perf_counter() - t0)
+        if len(base_runs) >= 3:
+            best3 = sorted(base_runs)[:3]
+            if best3[2] <= best3[0] * 1.2:
+                break
+    base_wall = min(base_runs)
     native_mbps = len(base_slice) / base_wall / 1e6
     del base_merges
 

@@ -83,3 +83,29 @@ def test_dp_chunking_invariance(mesh8):
 def test_dp_early_stop(mesh8):
     got = dp.train_dp(b"ab" * 2, 400, mesh=mesh8)
     assert got == oracle.train(b"ab" * 2, 400)
+
+
+def test_dp_pallas_kernel_path_matches_oracle(mesh8):
+    # the fused Pallas merge under shard_map (interpret mode; block-aligned
+    # per-shard capacity), incl. a cross-boundary merge and an a==b round
+    # (which recompacts and takes the XLA parity branch in-line)
+    rng = np.random.default_rng(11)
+    data = bytes(rng.integers(97, 103, 40000, dtype=np.uint8))
+    tokens = dp.shard_corpus(data, mesh8, per_shard_capacity=32768)
+    got = dp.train_dp_tokens(
+        tokens, len(data), 290, mesh8, use_pallas=True, interpret=True,
+        chunk_rounds=16,
+    )
+    assert got == oracle.train(data, 290)
+
+
+def test_dp_pallas_kernel_path_parity_runs(mesh8):
+    # single-byte runs spanning shard boundaries force a==b rounds through
+    # the kernel path's parity fallback
+    data = b"a" * 9000 + b"bc" * 600 + b"a" * 7000
+    tokens = dp.shard_corpus(data, mesh8, per_shard_capacity=32768)
+    got = dp.train_dp_tokens(
+        tokens, len(data), 272, mesh8, use_pallas=True, interpret=True,
+        chunk_rounds=8,
+    )
+    assert got == oracle.train(data, 272)

@@ -74,15 +74,22 @@ def data_mesh(devices=None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
-def _shard_pair_streams(tokens):
+def _shard_pair_streams(tokens, layout_block=None):
     """Per-shard (a, b, pair_valid, L, G) with the boundary pair included:
     shard d owns the pair (its last valid token, the first valid token of
-    the next non-empty shard), exchanged via tiny all_gathers."""
+    the next non-empty shard), exchanged via tiny all_gathers.
+
+    ``layout_block``: None for the prefix-per-shard layout (the XLA merge
+    path); the Pallas kernel's row-local block size otherwise — the
+    within-shard adjacency then comes from core.pair_streams and the
+    boundary pair lands on the UNIQUE tail slot (valid token with no
+    within-shard successor; unique as long as no interior row is empty,
+    the kernel's maintained invariant). A prefix is a valid row-local
+    layout, so the row-local view is correct from the first round."""
     n = tokens.shape[0]
     D = jax.lax.axis_size(AXIS)
     d = jax.lax.axis_index(AXIS)
     idxs = jnp.arange(D, dtype=jnp.int32)
-    j = jnp.arange(n, dtype=jnp.int32)
 
     valid_tok = tokens >= 0
     L = jnp.sum(valid_tok.astype(jnp.int32))
@@ -99,24 +106,30 @@ def _shard_pair_streams(tokens):
     G = jnp.sum(jnp.where(idxs < d, lengths, 0))
 
     a = tokens
-    b = jnp.roll(tokens, -1).at[-1].set(PAD)
-    b = jnp.where(j == L - 1, next_tok, b)  # boundary pair at local slot L-1
+    if layout_block:
+        _, b_in = core.pair_streams(tokens, layout_block)
+        tail = valid_tok & (b_in < 0)
+        b = jnp.where(tail, next_tok, b_in)
+    else:
+        j = jnp.arange(n, dtype=jnp.int32)
+        b = jnp.roll(tokens, -1).at[-1].set(PAD)
+        b = jnp.where(j == L - 1, next_tok, b)  # boundary pair at slot L-1
     pair_valid = (a >= 0) & (b >= 0)
     return a, b, pair_valid, L, G
 
 
-def init_ub_dp(tokens, *, vocab_size: int):
+def init_ub_dp(tokens, *, vocab_size: int, layout_block=None):
     """Replicated upper-bound table: psum of per-shard histograms
     (boundary pairs counted exactly once). Runs inside shard_map."""
     V = vocab_size
-    a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
+    a, b, pair_valid, _, _ = _shard_pair_streams(tokens, layout_block)
     pid = jnp.where(pair_valid, a * V + b, V * V)
     hist = jnp.zeros((V * V,), jnp.int32).at[pid].add(1, mode="drop")
     return jax.lax.psum(hist, AXIS)
 
 
 def _dp_select_lazy(ub, rowmax, tokens, *, vocab_size: int, batch: int = 8,
-                    hot=None):
+                    hot=None, layout_block=None):
     """Lazy batch-verified selection across shards: ub (and its rowmax pop
     cache) is replicated — every shard computes the identical pop sequence
     via ops.core.select_top_pair_lazy, with the exact-count pass overridden
@@ -125,7 +138,7 @@ def _dp_select_lazy(ub, rowmax, tokens, *, vocab_size: int, batch: int = 8,
     The rowmax cache makes each pop O(V) instead of O(V^2) table reads —
     the same flat per-round cost the single-chip path has at deep vocabs."""
     V = vocab_size
-    a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
+    a, b, pair_valid, _, _ = _shard_pair_streams(tokens, layout_block)
     pid_stream = jnp.where(pair_valid, a * V + b, -1)
 
     def count_fn(pa, pb):
@@ -167,7 +180,8 @@ def _owned_row_max_refresh(rm, u, row_g, row0):
     return jax.lax.dynamic_update_slice(rm, val.reshape(1), (r,))
 
 
-def _dp_select_lazy_sharded(u, rm, tokens, *, vocab_size: int, batch: int = 8):
+def _dp_select_lazy_sharded(u, rm, tokens, *, vocab_size: int, batch: int = 8,
+                            layout_block=None):
     """Lazy batch-verified selection with the ub table SHARDED BY ROWS:
     u is the local (Vp/D, V) row block and rm its exact local per-row max
     (the pop cache — each pop reads O(V) local values, not the whole
@@ -186,7 +200,7 @@ def _dp_select_lazy_sharded(u, rm, tokens, *, vocab_size: int, batch: int = 8):
     Rl = u.shape[0]
     d = jax.lax.axis_index(AXIS)
     row0 = d * Rl
-    a, b, pair_valid, _, _ = _shard_pair_streams(tokens)
+    a, b, pair_valid, _, _ = _shard_pair_streams(tokens, layout_block)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (Rl,), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
@@ -257,28 +271,15 @@ def _dp_select_lazy_sharded(u, rm, tokens, *, vocab_size: int, batch: int = 8):
     return ra, cb, jnp.maximum(c2, 0), u, rm
 
 
-def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
-              sharded_ub: bool):
-    """One merge round on a shard of the corpus (runs inside shard_map).
-    ``rm`` is the rowmax pop cache for ub (local rows for the sharded
-    table, the full V rows replicated otherwise)."""
-    V = vocab_size
+def _xla_merge_shard(tokens, ta, tb, new_id):
+    """The XLA merge formulation on a PREFIX-layout shard: greedy hits with
+    cross-shard parity carry, boundary write/kill, stable-sort compaction.
+    Returns (tokens', local_hits, local_keep)."""
     n = tokens.shape[0]
     D = jax.lax.axis_size(AXIS)
     d = jax.lax.axis_index(AXIS)
     idxs = jnp.arange(D, dtype=jnp.int32)
     j = jnp.arange(n, dtype=jnp.int32)
-
-    if sharded_ub:
-        ta, tb, cnt, ub, rm = _dp_select_lazy_sharded(
-            ub, rm, tokens, vocab_size=V
-        )
-    else:
-        ta, tb, cnt, ub, rm = _dp_select_lazy(
-            ub, rm, tokens, vocab_size=V, hot=VOCAB_START + k - 1,
-            batch=16 if V > 1024 else 8,
-        )
-    new_id = VOCAB_START + k
 
     a, b, pair_valid, L, G = _shard_pair_streams(tokens)
     valid_tok = tokens >= 0
@@ -309,9 +310,126 @@ def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
     # stable-sort compaction on a 0/1 dead key (same formulation as
     # ops.core.apply_hits; ~3x faster than scatter on this backend)
     key = jnp.where(keep, jnp.int32(0), jnp.int32(1))
-    _, tokens = jax.lax.sort(
+    _, out = jax.lax.sort(
         (key, jnp.where(keep, written, PAD)), num_keys=1, is_stable=True
     )
+    local_hits = jnp.sum(hit.astype(jnp.int32))
+    local_keep = jnp.sum(keep.astype(jnp.int32))
+    return out, local_hits, local_keep
+
+
+def _pallas_merge_shard(tokens, ta, tb, new_id, interpret):
+    """The fused Pallas merge on a ROW-LOCAL shard (a != b only): the
+    kernel handles all within-shard work; the boundary pair (this shard's
+    tail token, the next non-empty shard's head) is decided on the
+    PRE-pass stream and patched afterwards — for a != b the tail token
+    can never be consumed in-kernel (as a left member its successor is
+    PAD; as a right member it would have to equal b with an a before it,
+    but a boundary hit needs it to equal a != b), and symmetrically the
+    head token a prior shard kills survives its own kernel pass.
+    Returns (tokens', local_hits, local_keep, layout_bad)."""
+    from ..ops import pallas as pallas_pkg
+    from ..ops.pallas import merge as pallas_merge
+
+    LANES = 128
+    D = jax.lax.axis_size(AXIS)
+    d = jax.lax.axis_index(AXIS)
+    idxs = jnp.arange(D, dtype=jnp.int32)
+
+    valid_tok = tokens >= 0
+    L = jnp.sum(valid_tok.astype(jnp.int32))
+    lengths = jax.lax.all_gather(L, AXIS)
+    firsts = jax.lax.all_gather(tokens[0], AXIS)
+    nonempty = lengths > 0
+    after = (idxs > d) & nonempty
+    e_next = jnp.min(jnp.where(after, idxs, D))
+    next_tok = jnp.where(e_next < D, firsts[jnp.minimum(e_next, D - 1)], PAD)
+
+    # boundary decision on the PRE-pass stream
+    _, b_in = core.pair_streams(tokens, pallas_pkg.LAYOUT)
+    tail_pre = valid_tok & (b_in < 0)
+    last_tok = jnp.max(jnp.where(tail_pre, tokens, -1))
+    boundary_hit = (last_tok == ta) & (next_tok == tb) & (next_tok >= 0)
+    bhits = jax.lax.all_gather(boundary_hit, AXIS)
+    before = (idxs < d) & nonempty
+    e_prev = jnp.max(jnp.where(before, idxs, -1), initial=-1)
+    killed_first = (e_prev >= 0) & bhits[jnp.maximum(e_prev, 0)] & (L > 0)
+
+    out, stats = pallas_merge.merge_pass_pallas(
+        tokens, ta, tb, new_id, interpret=interpret
+    )
+
+    # patch the boundary hit: rewrite this shard's tail token
+    _, b_out = core.pair_streams(out, pallas_pkg.LAYOUT)
+    tail_post = (out >= 0) & (b_out < 0)
+    out = jnp.where(tail_post & boundary_hit, new_id, out)
+    # and drop the head token a prior shard's boundary hit consumed
+    o2 = out.reshape(-1, LANES)
+    row0 = o2[0]
+    shifted = jnp.concatenate([row0[1:], jnp.full((1,), PAD, out.dtype)])
+    o2 = o2.at[0].set(jnp.where(killed_first, shifted, row0))
+    out = o2.reshape(-1)
+
+    local_hits = stats[0] + boundary_hit.astype(jnp.int32)
+    local_keep = stats[1] - killed_first.astype(jnp.int32)
+    # layout flag: in-kernel drain, or the head kill left row 0 with <= 1
+    # tokens (conservative: pre-kill population <= 2)
+    layout_bad = (stats[2] <= 1) | (
+        killed_first & (jnp.sum((row0 >= 0).astype(jnp.int32)) <= 2)
+    )
+    return out, local_hits, local_keep, layout_bad
+
+
+def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
+              sharded_ub: bool, use_pallas: bool = False,
+              interpret: bool = False):
+    """One merge round on a shard of the corpus (runs inside shard_map).
+    ``rm`` is the rowmax pop cache for ub (local rows for the sharded
+    table, the full V rows replicated otherwise).
+
+    With ``use_pallas`` the shard stream lives in the kernel's row-local
+    layout and merges run through merge_pass_pallas; a == b rounds (rare;
+    cross-shard run parity needs global ranks) first recompact the shard
+    to a prefix and take the XLA path, and a round that trips the layout
+    flag recompacts in-line so the loop can continue."""
+    from ..ops import pallas as pallas_pkg
+
+    V = vocab_size
+    lb = pallas_pkg.LAYOUT if use_pallas else None
+
+    if sharded_ub:
+        ta, tb, cnt, ub, rm = _dp_select_lazy_sharded(
+            ub, rm, tokens, vocab_size=V, layout_block=lb
+        )
+    else:
+        ta, tb, cnt, ub, rm = _dp_select_lazy(
+            ub, rm, tokens, vocab_size=V, hot=VOCAB_START + k - 1,
+            batch=16 if V > 1024 else 8, layout_block=lb,
+        )
+    new_id = VOCAB_START + k
+
+    if use_pallas:
+        def parity_path(t):
+            tc, _ = core.compact_stream(t)  # prefix: a valid row-local form
+            out, lh, lk = _xla_merge_shard(tc, ta, tb, new_id)
+            return out, lh, lk, jnp.bool_(False)
+
+        def kernel_path(t):
+            return _pallas_merge_shard(t, ta, tb, new_id, interpret)
+
+        tokens, local_hits, local_keep, layout_bad = jax.lax.cond(
+            ta == tb, parity_path, kernel_path, tokens
+        )
+        # restore the row-local invariant in-line when flagged anywhere
+        any_bad = jax.lax.pmax(layout_bad.astype(jnp.int32), AXIS)
+        tokens = jax.lax.cond(
+            any_bad > 0, lambda t: core.compact_stream(t)[0], lambda t: t,
+            tokens,
+        )
+    else:
+        tokens, local_hits, local_keep = _xla_merge_shard(
+            tokens, ta, tb, new_id
+        )
 
     merges = merges.at[k].set(jnp.stack([ta, tb, new_id]))
     occ = occ.at[k].set(cnt)
@@ -319,10 +437,10 @@ def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
     # ---- ub maintenance (same derivation as train_chunk_lazy: new (X, v)
     # pairs sit where old (b, v) pairs were, (v, X) where (v, a), (X, X)
     # where (b, a); all capped by the global hit count) ----
-    nhits = jax.lax.psum(jnp.sum(hit.astype(jnp.int32)), AXIS)
+    nhits = jax.lax.psum(local_hits, AXIS)
     if sharded_ub:
         Rl = ub.shape[0]
-        row0 = d * Rl
+        row0 = jax.lax.axis_index(AXIS) * Rl
         # row tb of the global table: owner contributes, psum broadcasts
         own_tb = (tb >= row0) & (tb < row0 + Rl)
         r_tb = jnp.clip(tb - row0, 0, Rl - 1)
@@ -363,12 +481,13 @@ def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
 
     # psum (not a host-side sum of the gathered lengths) so the total carries
     # the replicated type through the while_loop
-    total_len = jax.lax.psum(jnp.sum(keep.astype(jnp.int32)), AXIS)
+    total_len = jax.lax.psum(local_keep, AXIS)
     return tokens, ub, rm, merges, occ, k + 1, total_len
 
 
 def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int,
-              sharded_ub: bool):
+              sharded_ub: bool, use_pallas: bool = False,
+              interpret: bool = False):
     """Up to max_rounds rounds inside one shard_map body (while_loop).
     Returns the chunk state plus (total_len, max_shard_len) for the host's
     early-stop and shrink decisions."""
@@ -390,7 +509,8 @@ def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int,
         toks, u, rm, mg, oc, kk, _ = state
         toks, u, rm, mg, oc, kk, total = _dp_round(
             toks, u, rm, mg, oc, kk, vocab_size=vocab_size,
-            sharded_ub=sharded_ub,
+            sharded_ub=sharded_ub, use_pallas=use_pallas,
+            interpret=interpret,
         )
         return toks, u, rm, mg, oc, kk, total
 
@@ -403,15 +523,16 @@ def _dp_chunk(tokens, ub, merges, occ, k, *, vocab_size: int, max_rounds: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vocab_size", "max_rounds", "mesh", "sharded_ub"),
+    static_argnames=("vocab_size", "max_rounds", "mesh", "sharded_ub",
+                     "use_pallas", "interpret"),
     donate_argnums=(0, 1, 2, 3),
 )
 def _dp_chunk_jit(tokens, ub, merges, occ, k, *, vocab_size, max_rounds, mesh,
-                  sharded_ub):
+                  sharded_ub, use_pallas=False, interpret=False):
     fn = jax.shard_map(
         functools.partial(
             _dp_chunk, vocab_size=vocab_size, max_rounds=max_rounds,
-            sharded_ub=sharded_ub,
+            sharded_ub=sharded_ub, use_pallas=use_pallas, interpret=interpret,
         ),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS, None) if sharded_ub else P(), P(), P(), P()),
@@ -419,6 +540,11 @@ def _dp_chunk_jit(tokens, ub, merges, occ, k, *, vocab_size, max_rounds, mesh,
             P(AXIS), P(AXIS, None) if sharded_ub else P(),
             P(), P(), P(), P(), P(),
         ),
+        # pallas_call can't declare varying-across-mesh types on its outputs
+        # (jax.ShapeDtypeStruct has no axis info inside the kernel wrapper);
+        # replicated-vs-varying correctness is pinned by the oracle-identity
+        # and device-count-invariance tests
+        check_vma=not use_pallas,
     )
     return fn(tokens, ub, merges, occ, k)
 
@@ -487,6 +613,17 @@ def _init_ub_sharded_jit(tokens, *, vocab_size, rows_per_shard, max_row, mesh,
         mesh=mesh,
         in_specs=(P(AXIS),),
         out_specs=P(AXIS, None),
+    )
+    return fn(tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0,))
+def _compact_shards_jit(tokens, *, mesh):
+    """Re-establish each shard's valid prefix from the kernel's row-local
+    layout (stable sort on a dead key, per shard)."""
+    fn = jax.shard_map(
+        lambda t: core.compact_stream(t)[0], mesh=mesh,
+        in_specs=(P(AXIS),), out_specs=P(AXIS),
     )
     return fn(tokens)
 
@@ -652,7 +789,9 @@ def _gather_valid_stream(tokens, D: int) -> np.ndarray:
     else:
         arr = np.asarray(tokens)
     per = arr.size // D
-    parts = [row[: int((row >= 0).sum())] for row in arr.reshape(D, per)]
+    # mask-select (not a prefix slice): valid for both the prefix layout
+    # and the Pallas kernel's row-local layout (flat order == logical order)
+    parts = [row[row >= 0] for row in arr.reshape(D, per)]
     return np.concatenate(parts) if parts else np.zeros(0, np.int32)
 
 
@@ -696,6 +835,8 @@ def train_dp_tokens(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every_chunks: int = 4,
     stats=None,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
 ) -> List[Merge]:
     """Run the data-parallel chunk loop on an already-sharded corpus.
 
@@ -703,7 +844,13 @@ def train_dp_tokens(
     replicated table; per-row-block psum for the sharded table —
     ``ub_max_row`` bounds the populated first-token rows, 256 for a fresh
     byte corpus). This is the compute path shared by :func:`train_dp` and
-    the multi-host entry point (parallel.multihost.train_from_files)."""
+    the multi-host entry point (parallel.multihost.train_from_files).
+
+    ``use_pallas``: run each shard's merge through the fused Pallas kernel
+    (auto: on TPU whenever the per-shard capacity is block-aligned;
+    ``interpret`` forces the interpreter for CPU-mesh validation). The
+    shard streams then live in the kernel's row-local layout between
+    chunks; shrink and checkpoint recompact first."""
     from ..utils.profiling import TimeStats
 
     stats = stats or TimeStats.null()
@@ -737,14 +884,28 @@ def train_dp_tokens(
     k_host = len(start_merges)
     total_host = total_tokens
     chunks_done = 0
+    layout_dirty = False
     while k_host < M and total_host >= 2:
         rounds = min(chunk_rounds, M - k_host)
+        from ..ops import pallas as pallas_pkg
+
+        if use_pallas is None:
+            chunk_pallas = pallas_pkg.merge_kernel_supported(per_shard_cap)
+        else:
+            # even when forced, the kernel needs a block-aligned shard
+            # capacity (the shrink schedule can halve below the block)
+            chunk_pallas = use_pallas and (
+                per_shard_cap % pallas_pkg.BLOCK == 0
+                and per_shard_cap >= pallas_pkg.BLOCK
+            )
         with stats.phase("merge_rounds"):
             tokens, ub, merges, occ, k, total, maxlen = _dp_chunk_jit(
                 tokens, ub, merges, occ, k,
                 vocab_size=vocab_size, max_rounds=rounds, mesh=mesh,
-                sharded_ub=sharded_ub,
+                sharded_ub=sharded_ub, use_pallas=chunk_pallas,
+                interpret=interpret,
             )
+            layout_dirty = layout_dirty or chunk_pallas
             ktm = np.asarray(jnp.stack([k, total, maxlen]))  # one host round-trip
             prev_k, k_host, total_host = k_host, int(ktm[0]), int(ktm[1])
             maxlen_host = int(ktm[2])
@@ -757,6 +918,18 @@ def train_dp_tokens(
                     f"{mg[i, 2]} had {oc[i]} occurrences"
                 )
 
+        chunks_done += 1
+        want_shrink = (
+            shrink
+            and per_shard_cap > MIN_SHARD_CAPACITY
+            and maxlen_host <= per_shard_cap // 2
+        )
+        ckpt_due = bool(
+            checkpoint_dir and (chunks_done % checkpoint_every_chunks == 0)
+        )
+        if layout_dirty and (want_shrink or ckpt_due):
+            tokens = _compact_shards_jit(tokens, mesh=mesh)
+            layout_dirty = False
         while (
             shrink
             and per_shard_cap > MIN_SHARD_CAPACITY
@@ -765,8 +938,7 @@ def train_dp_tokens(
             per_shard_cap //= 2
             tokens = _shrink_jit(tokens, new_cap=per_shard_cap, mesh=mesh)
 
-        chunks_done += 1
-        if checkpoint_dir and (chunks_done % checkpoint_every_chunks == 0):
+        if ckpt_due:
             from ..utils import checkpoint as ckpt
 
             stream = _gather_valid_stream(tokens, D)
