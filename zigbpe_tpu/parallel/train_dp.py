@@ -181,77 +181,92 @@ def _owned_row_max_refresh(rm, u, row_g, row0):
 
 
 def _dp_select_lazy_sharded(u, rm, tokens, *, vocab_size: int, batch: int = 8,
-                            layout_block=None):
+                            layout_block=None, hot=None, hot_batch: int = 2):
     """Lazy batch-verified selection with the ub table SHARDED BY ROWS:
     u is the local (Vp/D, V) row block and rm its exact local per-row max
     (the pop cache — each pop reads O(V) local values, not the whole
-    block). Per pop: local best via the row cache, then three scalar pmax
-    collectives pick the global winner lexicographically by (count, first,
-    second) => exact tie-break, and — being reductions over the mesh
-    axis — yield axis-INVARIANT scalars, so the merge table and loop
-    predicates stay replicated under shard_map's varying-axes typing.
-    Verification is a psum of shard-local exact pair counts, written back
-    to the owning shard (which also refreshes its rm rows).
+    block).
 
-    Pair ids are kept as (first, second) component pairs throughout —
+    Pops are CHAIN-FREE, mirroring the single-chip selector: each shard
+    takes its local top-``batch`` rows via one lax.top_k over the cache
+    plus the top-2 columns of each in one batched top_k (no sequential
+    masked argmaxes), appends its local exact tie-break candidate and —
+    when ``hot`` is set — the hot row's local top-``hot_batch`` (owner
+    only) and the hot column's local best; ONE all_gather shares every
+    shard's candidate list and ONE psum of shard-local counts verifies
+    them all, written back to their owning shards. That is 2 collectives
+    per verify iteration instead of the previous 3 x batch sequential
+    pmaxes — the shape that matters when each collective rides DCN.
+
+    The final argmax composes local caches with three scalar pmaxes
+    lexicographically by (count, global row, col) — the exact tie-break —
+    and, being reductions over the mesh axis, yields axis-invariant
+    scalars, so the merge table and loop predicates stay replicated under
+    shard_map's typing. Pair ids stay as (first, second) components —
     a flat a*V+b id would overflow int32 past V=46341 (the u16 vocab cap
     is 65536, basic_tokenizer.zig:140)."""
     V = vocab_size
     Rl = u.shape[0]
+    D = jax.lax.axis_size(AXIS)
     d = jax.lax.axis_index(AXIS)
     row0 = d * Rl
     a, b, pair_valid, _, _ = _shard_pair_streams(tokens, layout_block)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (Rl,), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
-
-    def masked_row(u, r_loc, fa, fb, j):
-        """Local row r_loc with entries popped earlier this round masked
-        out (the popped list is replicated, so any shard can apply it)."""
-        row = jax.lax.dynamic_slice(u, (r_loc, 0), (1, V))[0]
-        for jj in range(j):
-            row = jnp.where(
-                (fa[jj] == row0 + r_loc) & (c_iota == fb[jj]), -1, row
-            )
-        return row
+    per = 2 * batch + 1 + (hot_batch + 1 if hot is not None else 0)
+    nver = D * per
 
     def round_(state):
-        u, rm, _, _, _, _ = state
-        rm_t = rm
-        pa = jnp.full((batch,), -1, jnp.int32)
-        pb = jnp.full((batch,), -1, jnp.int32)
-        for j in range(batch):
-            # local best by (count, row) via the cache, column via one row
-            cl = jnp.max(rm_t)
-            rl = jnp.max(jnp.where(rm_t == cl, r_iota, -1))
-            row = masked_row(u, rl, pa, pb, j)
-            rmax = jnp.max(row)
-            bl = jnp.max(jnp.where(row == rmax, c_iota, -1))
-            # lexicographic global winner by (count, global row, col)
-            mc = jax.lax.pmax(rmax, AXIS)
-            is_max = rmax == mc
-            mr = jax.lax.pmax(jnp.where(is_max, row0 + rl, -1), AXIS)
-            ml = jax.lax.pmax(
-                jnp.where(is_max & (row0 + rl == mr), bl, -1), AXIS
+        u, rm = state[0], state[1]
+        # local chain-free pops
+        _, rows_loc = jax.lax.top_k(rm, batch)
+        rows_mat = jnp.concatenate(
+            [jax.lax.dynamic_slice(u, (rows_loc[j], 0), (1, V))
+             for j in range(batch)], axis=0,
+        )
+        _, cols2 = jax.lax.top_k(rows_mat, 2)
+        la_parts = [jnp.repeat(row0 + rows_loc, 2)]
+        lb_parts = [cols2.reshape(-1)]
+        if hot is not None:
+            hr = jnp.clip(jnp.asarray(hot, jnp.int32), 0, V - 1)
+            own_h = (hr >= row0) & (hr < row0 + Rl)
+            hrow = jax.lax.dynamic_slice(
+                u, (jnp.clip(hr - row0, 0, Rl - 1), 0), (1, V)
+            )[0]
+            _, hcols = jax.lax.top_k(hrow, hot_batch)
+            # non-owners contribute masked (-1) candidates — they verify
+            # to nothing and their owned writes are no-ops
+            la_parts.append(
+                jnp.where(own_h, jnp.broadcast_to(hr, (hot_batch,)), -1)
             )
-            pa = pa.at[j].set(mr)
-            pb = pb.at[j].set(ml)
-            # the owner masks the popped entry in its rm_t copy
-            own = (mr >= row0) & (mr < row0 + Rl)
-            rloc = jnp.clip(mr - row0, 0, Rl - 1)
-            orow = masked_row(u, rloc, pa, pb, j + 1)
-            cur = jax.lax.dynamic_slice(rm_t, (rloc,), (1,))
-            val = jnp.where(own, jnp.max(orow), cur[0])
-            rm_t = jax.lax.dynamic_update_slice(rm_t, val.reshape(1), (rloc,))
+            lb_parts.append(jnp.where(own_h, hcols, -1))
+            hcol = jax.lax.dynamic_slice(u, (0, hr), (Rl, 1))[:, 0]
+            hrl = jnp.argmax(hcol).astype(jnp.int32)
+            la_parts.append((row0 + hrl).reshape(1))
+            lb_parts.append(hr.reshape(1))
+        # local exact tie-break candidate (top_k ties by smallest index;
+        # the checked argmax ties by LARGEST (first, second))
+        cl = jnp.max(rm)
+        rl = jnp.max(jnp.where(rm == cl, r_iota, -1))
+        rowl = jax.lax.dynamic_slice(u, (jnp.maximum(rl, 0), 0), (1, V))[0]
+        bl = jnp.max(jnp.where(rowl == cl, c_iota, -1))
+        la_parts.append((row0 + rl).reshape(1))
+        lb_parts.append(jnp.maximum(bl, 0).reshape(1))
+        la = jnp.concatenate(la_parts)
+        lb = jnp.concatenate(lb_parts)
+        # share candidates; verify all with one fused count pass + psum
+        ga = jax.lax.all_gather(la, AXIS).reshape(-1)
+        gb = jax.lax.all_gather(lb, AXIS).reshape(-1)
         local = jnp.stack(
-            [jnp.sum((pair_valid & (a == pa[i]) & (b == pb[i])).astype(jnp.int32))
-             for i in range(batch)]
+            [jnp.sum((pair_valid & (a == ga[i]) & (b == gb[i])).astype(jnp.int32))
+             for i in range(nver)]
         )
         exact = jax.lax.psum(local, AXIS)
-        for i in range(batch):
-            u = _owned_entry_set(u, pa[i], pb[i], exact[i], row0)
-        for i in range(batch):
-            rm = _owned_row_max_refresh(rm, u, pa[i], row0)
+        for i in range(nver):
+            u = _owned_entry_set(u, ga[i], gb[i], exact[i], row0)
+        for i in range(nver):
+            rm = _owned_row_max_refresh(rm, u, ga[i], row0)
         # final argmax from the (exactly refreshed) caches
         cl = jnp.max(rm)
         rl = jnp.max(jnp.where(rm == cl, r_iota, -1))
@@ -261,7 +276,7 @@ def _dp_select_lazy_sharded(u, rm, tokens, *, vocab_size: int, batch: int = 8,
         is_max = cl == mc
         ra = jax.lax.pmax(jnp.where(is_max, row0 + rl, -1), AXIS)
         cb = jax.lax.pmax(jnp.where(is_max & (row0 + rl == ra), bl, -1), AXIS)
-        verified = jnp.any((pa == ra) & (pb == cb)) | (mc <= 0)
+        verified = jnp.any((ga == ra) & (gb == cb)) | (mc <= 0)
         return u, rm, ra, cb, mc, verified
 
     state = round_(
@@ -399,7 +414,8 @@ def _dp_round(tokens, ub, rm, merges, occ, k, *, vocab_size: int,
 
     if sharded_ub:
         ta, tb, cnt, ub, rm = _dp_select_lazy_sharded(
-            ub, rm, tokens, vocab_size=V, layout_block=lb
+            ub, rm, tokens, vocab_size=V, layout_block=lb,
+            hot=VOCAB_START + k - 1,
         )
     else:
         ta, tb, cnt, ub, rm = _dp_select_lazy(
