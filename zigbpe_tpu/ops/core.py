@@ -283,7 +283,8 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
         rowmax = jnp.max(u2, axis=1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (V,), 0)
     col_iota = row_iota
-    nver = col_k * batch + 1 + (2 * hot_batch if hot is not None else 0)
+    hots = [] if hot is None else (hot if isinstance(hot, (list, tuple)) else [hot])
+    nver = col_k * batch + 1 + 2 * hot_batch * len(hots)
     if count_fn is None:
         sa, sb = pair_streams(tokens, layout_block)
         # verify compares against ONE packed stream when V*V fits int32 (one
@@ -323,15 +324,16 @@ def select_top_pair_lazy(ub: jax.Array, tokens: jax.Array, vocab_size: int,
         _, cols2 = jax.lax.top_k(rows_mat, col_k)
         pa_parts = [jnp.repeat(rows_idx, col_k)]
         pb_parts = [cols2.reshape(-1)]
-        if hot is not None:
+        for h in hots:
             # eager hot-row/col pops: the freshest bounds are the stalest
-            hr = jnp.clip(jnp.asarray(hot, jnp.int32), 0, V - 1)
+            # (with merge groups, every token the previous round minted)
+            hr = jnp.clip(jnp.asarray(h, jnp.int32), 0, V - 1)
             hrow = jax.lax.dynamic_slice(u2, (hr, 0), (1, V))[0]
             _, hcols = jax.lax.top_k(hrow, hot_batch)
             hcol = jax.lax.dynamic_slice(u2, (0, hr), (V, 1))[:, 0]
             _, hrows = jax.lax.top_k(hcol, hot_batch)
-            pa_parts += [jnp.full((hot_batch,), hr, jnp.int32), hrows]
-            pb_parts += [hcols, jnp.full((hot_batch,), hr, jnp.int32)]
+            pa_parts += [jnp.broadcast_to(hr, (hot_batch,)), hrows]
+            pb_parts += [hcols, jnp.broadcast_to(hr, (hot_batch,))]
         # ALWAYS include the exact tie-break candidate (largest row among
         # max rows, largest col at the row max): top_k breaks ties by
         # SMALLEST index, so with 3+ tied entries the checked candidate

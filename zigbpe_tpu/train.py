@@ -354,12 +354,6 @@ def train_device(
     one host sync per phase per round — use for profiling, not production.
     """
     M = vocab_size - core.VOCAB_START
-    if select_batch is None:
-        # deep tables churn many near-top stale bounds per round (counts
-        # flatten), so verify more entries per pass; shallow tables converge
-        # in ~1 pass and prefer the cheaper one (A/B: 8 MB / 1024 merges
-        # 2.96 -> 3.81 MB/s at 16; headline unchanged at 8)
-        select_batch = 16 if vocab_size > 1024 else 8
     if merge_group is None:
         # groups of 4 retire ~3.5 argmax rounds per corpus pass on text
         # (consecutive argmax merges are mostly chain-free — the same
@@ -398,11 +392,26 @@ def train_device(
         rounds = min(chunk_rounds, M - k_host)
         with (stats or TimeStats.null()).phase("merge_rounds"):
             use_pallas = pallas_pkg.merge_kernel_supported(capacity)
+            if select_batch is None:
+                # deep tables churn many near-top stale bounds per round
+                # (counts flatten), so verify more entries per pass — and
+                # small streams, where each verify pass is cheap relative
+                # to the churn, go wider still (8MB/1024 A/B: batch 16 ->
+                # 4.37, 32 -> 4.58 MB/s; 100MB/1024 prefers 16; shallow
+                # tables converge in ~1 pass and keep 8). The choice is
+                # per-chunk: shrink walks a long run into the wide-verify
+                # regime naturally.
+                sb_chunk = (
+                    8 if vocab_size <= 1024
+                    else (32 if capacity <= 2**24 else 16)
+                )
+            else:
+                sb_chunk = select_batch
             if lazy:
                 tokens, length, ub, merges, occupancy, k, flag = _train_chunk_lazy(
                     tokens, length, ub, merges, occupancy, k,
                     vocab_size=vocab_size, max_rounds=rounds,
-                    use_pallas=use_pallas, select_batch=select_batch,
+                    use_pallas=use_pallas, select_batch=sb_chunk,
                     merge_group=merge_group,
                 )
             else:
