@@ -30,6 +30,18 @@ import pytest
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running conformance tests")
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Drop in-memory compiled executables between test modules. A long
+    suite accumulates hundreds of distinct XLA CPU executables; past a
+    threshold a later large compile segfaults inside XLA (observed twice,
+    reproducibly at whichever heavy compile runs last). Clearing per module
+    keeps the live-executable count bounded; the persistent disk cache
+    absorbs most of the recompile cost."""
+    yield
+    jax.clear_caches()
+
 # Conformance fixtures are VENDORED (tests/data/) so the golden suite is
 # self-contained; the reference checkout, when present, is only used to
 # cross-check that the vendored copies have not drifted (test_fixture_parity).

@@ -662,6 +662,12 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
                 u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
                 hot=X0 - 1, return_verified=True, col_k=3,
             )
+        elif chained_ext:
+            ta, tb, cnt, u, rm, vpa, vpb = select_top_pair_lazy(
+                u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
+                hot=X0 - 1, count_fn=count_fn, return_verified=True,
+                col_k=3,
+            )
         else:
             ta, tb, cnt, u, rm = select_top_pair_lazy(
                 u, toks, V, batch=select_batch, layout_block=lb, rowmax=rm,
@@ -676,14 +682,50 @@ def train_chunk_lazy(tokens: jax.Array, length, ub: jax.Array, merges: jax.Array
         for m in range(1, GK):
             Xm = X0 + m
             if chained_ext:
-                # full re-selection against the bound-updated table; the
-                # corpus pass still measures the PRE-group stream (sound:
-                # bins referencing minted tokens keep their bounds)
-                ta_m, tb_m, c_m, u, rm = select_top_pair_lazy(
-                    u, toks, V, batch=select_batch, layout_block=lb,
-                    rowmax=rm, count_fn=count_fn, protect_from=X0,
+                # membership-first: the latest select's verified set
+                # usually already holds the next argmax, making the
+                # extension FREE; a miss falls back to one full
+                # re-selection (the cond's untaken branch costs nothing).
+                # The fallback's corpus pass still measures the PRE-group
+                # stream (sound: bins referencing minted tokens keep
+                # their bounds via protect_from).
+                u2v = u.reshape(V, V)
+                c_f = jnp.max(rm)
+                ta_f = jnp.max(jnp.where(rm == c_f, row_iota, -1))
+                row_f = jax.lax.dynamic_slice(
+                    u2v, (jnp.maximum(ta_f, 0), 0), (1, V)
+                )[0]
+                tb_f = jnp.max(jnp.where(row_f == c_f, row_iota, -1))
+                hit_mem = (
+                    jnp.any((vpa == ta_f) & (vpb == tb_f)) & (tb_f >= 0)
                 )
-                member_ok = c_m > 0
+                nv0 = vpa.shape[0]
+
+                def mem_branch(args):
+                    u_, rm_, vpa_, vpb_ = args
+                    return ta_f, tb_f, c_f, u_, rm_, vpa_, vpb_
+
+                def sel_branch(args):
+                    u_, rm_, _, _ = args
+                    r = select_top_pair_lazy(
+                        u_, toks, V, batch=select_batch, layout_block=lb,
+                        rowmax=rm_, count_fn=count_fn, protect_from=X0,
+                        return_verified=True,
+                    )
+                    ta_r, tb_r, c_r, u_r, rm_r, pa_r, pb_r = r
+                    pad = nv0 - pa_r.shape[0]
+                    pa_r = jnp.concatenate(
+                        [pa_r, jnp.full((pad,), -1, jnp.int32)]
+                    )
+                    pb_r = jnp.concatenate(
+                        [pb_r, jnp.full((pad,), -1, jnp.int32)]
+                    )
+                    return ta_r, tb_r, c_r, u_r, rm_r, pa_r, pb_r
+
+                ta_m, tb_m, c_m, u, rm, vpa, vpb = jax.lax.cond(
+                    hit_mem, mem_branch, sel_branch, (u, rm, vpa, vpb)
+                )
+                member_ok = (c_m > 0) & (tb_m >= 0)
             else:
                 # the next argmax straight off the (bound-updated) table —
                 # no corpus pass; O(V) via the rowmax cache
