@@ -128,3 +128,26 @@ def test_large_vocab_sorted_path_with_checkpoint(tmp_path):
         chunk_rounds=16,
     )
     assert got == oracle.train(data, 9000)
+
+
+def test_deep_vocab_lazy_membership_mode(tmp_path):
+    # vocab in (1024, LAZY_VOCAB_MAX]: the lazy trainer's membership-mode
+    # group extensions (free argmax accepted off the verified set) — the
+    # config-2/deep-regime path, otherwise only exercised on TPU. Running
+    # 1000+ device rounds on the CPU mesh takes minutes, so the device
+    # trainer resumes from a host-trained checkpoint just below the
+    # vocab-1024 mode boundary and runs only the deep tail.
+    from zigbpe_tpu import train as train_mod
+    from zigbpe_tpu.models import numpy_backend
+    from zigbpe_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(32, 127, 16000, dtype=np.uint8))
+    want = numpy_backend.train(data, 1100)
+    assert len(want) == 844
+    prefix = want[:810]  # resume at vocab 1066 > 1024: membership mode
+    stream = np.asarray(numpy_backend.encode(data, prefix), np.int32)
+    d = tmp_path / "ck"
+    ckpt.save(d, prefix, stream, 1100, np.zeros(len(prefix), np.int32))
+    got = train_mod.train(data, 1100, checkpoint_dir=str(d), chunk_rounds=16)
+    assert got == want
